@@ -1,0 +1,81 @@
+"""Top-level experiment configuration.
+
+Reference: /root/reference/src/config/core.py:25-306. Reference experiment
+YAMLs load unchanged (same field names and nesting).
+"""
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+import typing
+from pathlib import Path
+from typing import Any, Mapping, Optional
+
+from mile_tpu.config.base import BaseConfig, ConfigError, _convert
+from mile_tpu.config.data import DataConfig
+from mile_tpu.config.models import ModelConfig
+from mile_tpu.config.training import TrainingConfig
+
+logger = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass(frozen=True)
+class Config(BaseConfig):
+    """Root config: data + model + training + bookkeeping."""
+
+    saving_dir: str
+    experiment_name: str
+    data: DataConfig
+    model: ModelConfig
+    training: TrainingConfig = dataclasses.field(default_factory=TrainingConfig)
+    rng: int = 42
+    logging: bool = True
+
+    # ``model:`` needs polymorphic resolution by its ``model`` name.
+    @classmethod
+    def from_dict(cls, data: Mapping[str, Any], _path: str = '') -> 'Config':
+        data = dict(data)
+        if 'model' in data and isinstance(data['model'], dict):
+            data['model'] = ModelConfig.resolve(data['model'])
+        return super().from_dict(data, _path=_path)
+
+    # ------------------------------------------------------------ helpers
+    @property
+    def experiment_dir(self) -> Path:
+        return Path(self.saving_dir) / self.experiment_name
+
+    def setup_dir(self) -> Path:
+        """Create the experiment dir (timestamp-suffixed on collision),
+        dump config.yaml, and configure logging.
+
+        Mirrors reference behaviour at src/config/core.py:231-280.
+        """
+        exp_dir = self.experiment_dir
+        if exp_dir.exists() and any(exp_dir.iterdir()):
+            stamped = Path(f'{exp_dir}_{int(time.time())}')
+            logger.warning('experiment dir %s exists; using %s', exp_dir, stamped)
+            exp_dir = stamped
+        exp_dir.mkdir(parents=True, exist_ok=True)
+        self.to_yaml(exp_dir / 'config.yaml')
+        if self.logging:
+            self._setup_logging(exp_dir)
+        return exp_dir
+
+    def _setup_logging(self, exp_dir: Path) -> None:
+        root = logging.getLogger()
+        root.setLevel(logging.INFO)
+        fmt = logging.Formatter('%(asctime)s %(levelname)s %(name)s: %(message)s')
+        fh = logging.FileHandler(exp_dir / 'training.log')
+        fh.setFormatter(fmt)
+        root.addHandler(fh)
+
+    def get_model(self):
+        """Resolve the configured Flax module from the model registry."""
+        from mile_tpu.models import build_model
+
+        return build_model(self.model, data_config=self.data)
+
+    @classmethod
+    def list_available_models(cls) -> list[str]:
+        return sorted(ModelConfig.registry())

@@ -1,0 +1,132 @@
+"""Training-phase configuration: warmstart optimizer, sampler, tokenizer.
+
+Reference: /root/reference/src/config/{warmstart,sampler,training}.py.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+from mile_tpu.config.base import BaseConfig, CfgEnum, ConfigError
+
+
+# --------------------------------------------------------------- warmstart
+class Optimizer(CfgEnum):
+    ADAMW = 'adamw'
+    ADAM = 'adam'
+    SGD = 'sgd'
+
+    def build(self, parameters: dict):
+        import optax
+
+        return getattr(optax, self.value)(**parameters)
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimizerConfig(BaseConfig):
+    name: Optimizer = Optimizer.ADAMW
+    parameters: dict[str, Any] = dataclasses.field(
+        default_factory=lambda: {'learning_rate': 1e-3})
+
+    def build(self):
+        return self.name.build(self.parameters)
+
+
+@dataclasses.dataclass(frozen=True)
+class WarmstartConfig(BaseConfig):
+    """Deep-ensemble (frequentist) pre-training of the chain initializers."""
+
+    include: bool = True
+    optimizer_config: OptimizerConfig = dataclasses.field(
+        default_factory=OptimizerConfig)
+    warmstart_exp_dir: Optional[str] = None
+    max_epochs: int = 100
+    batch_size: Optional[int] = None
+    patience: Optional[int] = None
+    partition_warmstart: bool = False
+
+
+# ----------------------------------------------------------------- priors
+class PriorDist(CfgEnum):
+    NORMAL = 'Normal'
+    STANDARD_NORMAL = 'StandardNormal'
+    LAPLACE = 'Laplace'
+
+
+@dataclasses.dataclass(frozen=True)
+class PriorConfig(BaseConfig):
+    name: PriorDist = PriorDist.STANDARD_NORMAL
+    parameters: dict[str, Any] = dataclasses.field(default_factory=dict)
+
+    def build(self):
+        from mile_tpu.bayes.priors import Prior
+
+        return Prior.from_name(self.name, **self.parameters)
+
+
+# ---------------------------------------------------------------- sampler
+class Sampler(CfgEnum):
+    NUTS = 'nuts'
+    HMC = 'hmc'
+    MCLMC = 'mclmc'
+
+
+@dataclasses.dataclass(frozen=True)
+class SamplerConfig(BaseConfig):
+    """MCMC sampling-phase knobs.
+
+    MCLMC tuning fields mirror the reference's BNN-adapted adaptation
+    (/root/reference/src/config/sampler.py:119-186, src/training/warmup.py).
+    """
+
+    name: Sampler = Sampler.MCLMC
+    epoch_wise_sampling: bool = False
+    params_frozen: list[str] = dataclasses.field(default_factory=list)
+    warmup_steps: int = 1000
+    n_chains: int = 4
+    n_samples: int = 1000
+    use_warmup_as_init: bool = True
+    n_thinning: int = 1
+    diagonal_preconditioning: bool = False
+    desired_energy_var_start: float = 5e-4
+    desired_energy_var_end: float = 5e-4
+    trust_in_estimate: float = 1.5
+    num_effective_samples: int = 100
+    step_size_init: float = 0.005
+    keep_warmup: bool = False
+    prior_config: PriorConfig = dataclasses.field(default_factory=PriorConfig)
+    partition_sampling: bool = False
+    # TPU-native extras (absent in reference):
+    stream_samples: bool = False   # per-draw host streaming (parity mode)
+    # HMC-only: number of leapfrog steps per proposal.
+    num_integration_steps: int = 32
+
+    def __post_init__(self):
+        if self.warmup_steps <= 0:
+            raise ConfigError('sampler.warmup_steps must be > 0')
+        if self.n_chains <= 0 or self.n_samples <= 0:
+            raise ConfigError('sampler.n_chains and n_samples must be > 0')
+        if self.n_thinning < 1:
+            raise ConfigError('sampler.n_thinning must be >= 1')
+
+
+# -------------------------------------------------------------- tokenizer
+class TokenizerName(CfgEnum):
+    CUSTOM_BPE = 'custom_bpe'
+    BPE = 'bpe'
+    BERT = 'bert'
+    SINGLE_CHAR = 'single_char'
+
+
+@dataclasses.dataclass(frozen=True)
+class TokenizerConfig(BaseConfig):
+    name: TokenizerName = TokenizerName.SINGLE_CHAR
+    parameters: dict[str, Any] = dataclasses.field(default_factory=dict)
+
+
+# ------------------------------------------------------------------- root
+@dataclasses.dataclass(frozen=True)
+class TrainingConfig(BaseConfig):
+    warmstart: WarmstartConfig = dataclasses.field(default_factory=WarmstartConfig)
+    sampler: SamplerConfig = dataclasses.field(default_factory=SamplerConfig)
+    tokenizer: Optional[TokenizerConfig] = None

@@ -1,0 +1,18 @@
+"""Test configuration: force a virtual 8-device CPU platform.
+
+Mirrors the reference's CPU multi-device faking
+(/root/reference/train.py:16) so chain-sharding code paths are exercised
+without TPU hardware.
+"""
+import os
+
+os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+_flags = os.environ.get('XLA_FLAGS', '')
+if 'xla_force_host_platform_device_count' not in _flags:
+    os.environ['XLA_FLAGS'] = (
+        _flags + ' --xla_force_host_platform_device_count=8'
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update('jax_threefry_partitionable', True)
