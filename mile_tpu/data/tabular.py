@@ -1,0 +1,136 @@
+"""Tabular (UCI) data loader.
+
+Reference behaviour (/root/reference/src/dataset/tabular.py:16-211):
+``.npy/.csv/.data`` files, z-normalization (target column excluded for
+classification), seeded shuffle, fractional train/valid/test split,
+optional datapoint limit.
+
+Host-side work (IO, shuffling, batching) is numpy; arrays cross to device
+only at the ``arrays()`` / ``iter()`` boundary. The reference runs all of
+this through jitted JAX ops on host, which pays compile time for IO.
+"""
+from __future__ import annotations
+
+from typing import Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mile_tpu.config.data import DataConfig, DatasetType, Task
+from mile_tpu.data.base import BaseLoader, Split, resolve_data_path
+
+
+def _np_rng(rng: 'jax.Array | int | np.random.Generator') -> np.random.Generator:
+    if isinstance(rng, np.random.Generator):
+        return rng
+    if isinstance(rng, (int, np.integer)):
+        return np.random.default_rng(rng)
+    # derive a host seed from a JAX PRNG key
+    return np.random.default_rng(np.asarray(jax.random.key_data(rng)).ravel())
+
+
+class TabularLoader(BaseLoader):
+    def __init__(self, config: DataConfig, rng, target_len: int = 1):
+        super().__init__(config)
+        assert config.data_type == DatasetType.TABULAR
+        self.target_len = target_len
+        self._rng = _np_rng(rng)
+        data = self._load(resolve_data_path(config.path))
+        if config.normalize:
+            data = self._normalize(data)
+        data = data[self._rng.permutation(len(data))]
+        if config.datapoint_limit:
+            data = data[: config.datapoint_limit]
+        n = len(data)
+        n_train = int(n * config.train_split)
+        n_valid = int(n * (config.train_split + config.valid_split))
+        self._splits = {
+            'train': data[:n_train],
+            'valid': data[n_train:n_valid],
+            'test': data[n_valid:],
+        }
+
+    # ------------------------------------------------------------ loading
+    @staticmethod
+    def _load(path) -> np.ndarray:
+        path = str(path)
+        if path.endswith('.npy'):
+            raw = np.load(path)
+        elif path.endswith('.csv'):
+            raw = np.loadtxt(path, delimiter=',')
+        elif path.endswith('.data'):
+            raw = np.genfromtxt(path, delimiter=' ')
+        else:
+            raise NotImplementedError(
+                f'unsupported tabular format: {path} (.npy/.csv/.data)'
+            )
+        return np.asarray(raw, dtype=np.float32)
+
+    def _normalize(self, data: np.ndarray) -> np.ndarray:
+        if self.config.task == Task.CLASSIFICATION:
+            feats = data[:, : -self.target_len]
+            feats = (feats - feats.mean(axis=0)) / feats.std(axis=0)
+            return np.concatenate([feats, data[:, -self.target_len:]], axis=1)
+        return (data - data.mean(axis=0)) / data.std(axis=0)
+
+    # ----------------------------------------------------------- protocol
+    def _xy(self, data: np.ndarray):
+        x = data[..., : -self.target_len]
+        y = data[..., -self.target_len:].squeeze(-1)
+        if self.config.task == Task.CLASSIFICATION:
+            y = y.astype(np.int32)
+        return x, y
+
+    def arrays(self, split: Split):
+        x, y = self._xy(self._splits[split])
+        return jnp.asarray(x), jnp.asarray(y)
+
+    @property
+    def n_features(self) -> int:
+        return self._splits['train'].shape[-1] - self.target_len
+
+    def iter(self, split: Split, batch_size: int | None = None) -> Iterator[dict]:
+        data = self._splits[split]
+        if not data.size:
+            return
+        if batch_size is None:
+            x, y = self.arrays(split)
+            yield {'feature': x, 'label': y}
+            return
+        n_batches = len(data) // batch_size
+        perm = self._rng.permutation(len(data))
+        perm = perm[: n_batches * batch_size].reshape(n_batches, batch_size)
+        for ids in perm:
+            x, y = self._xy(data[ids])
+            yield {'feature': jnp.asarray(x), 'label': jnp.asarray(y)}
+
+    def epoch_batches(self, batch_size: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """All train mini-batches of one epoch stacked: (n_batches, B, ...).
+
+        TPU-native fast path: lets the trainer ``lax.scan`` over an epoch in
+        one compiled program instead of a Python loop over host batches.
+        """
+        data = self._splits['train']
+        n_batches = len(data) // batch_size
+        perm = self._rng.permutation(len(data))[: n_batches * batch_size]
+        x, y = self._xy(data[perm].reshape(n_batches, batch_size, -1).reshape(-1, data.shape[-1]))
+        x = x.reshape(n_batches, batch_size, -1)
+        y = y.reshape(n_batches, batch_size, *y.shape[1:])
+        return jnp.asarray(x), jnp.asarray(y)
+
+    def shuffle(self, split: Split = 'train') -> None:
+        data = self._splits[split]
+        self._splits[split] = data[self._rng.permutation(len(data))]
+
+    def __len__(self):
+        return sum(len(v) for v in self._splits.values())
+
+    def __str__(self):
+        return (
+            super().__str__() + '\n'
+            f' | features: {self.n_features}\n'
+            + '\n'.join(
+                f' | {k}: {len(v)}' for k, v in self._splits.items()
+            )
+        )
