@@ -1,0 +1,108 @@
+"""Unnormalized log-posterior over flat parameter vectors.
+
+Reference: /root/reference/src/training/probabilistic.py:17-138. Differences
+by design:
+
+- The sampler-facing density operates on the FLAT (dim,) parameter vector;
+  the pytree structure is applied once via a ``ravel_pytree`` closure. This
+  makes every MCMC kernel a pure vector program that vmaps cleanly over a
+  chain axis and lets the prior evaluate as one fused reduction.
+- A pytree-facing ``log_unnormalized_posterior`` is kept for API parity.
+"""
+from __future__ import annotations
+
+import logging
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+from jax.flatten_util import ravel_pytree
+
+from mile_tpu.bayes.priors import Prior
+from mile_tpu.config.data import Task
+
+logger = logging.getLogger(__name__)
+
+# Predictive log-sigma is exp-clipped to this range everywhere
+# (reference clip pattern, probabilistic.py:98).
+SIGMA_MIN, SIGMA_MAX = 1e-6, 1e6
+
+
+def gaussian_loglik(lvals: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Sum of Normal(y | mean, exp(log_sigma)) log-pdfs.
+
+    ``lvals[..., 0]`` is the mean head, ``lvals[..., 1]`` the log-σ head.
+    NaN observations contribute zero (reference ``jnp.nansum`` semantics).
+    """
+    mu = lvals[..., 0]
+    sigma = jnp.clip(jnp.exp(lvals[..., 1]), SIGMA_MIN, SIGMA_MAX)
+    z = (y - mu) / sigma
+    logpdf = -0.5 * z * z - jnp.log(sigma) - 0.5 * jnp.log(2.0 * jnp.pi)
+    return jnp.nansum(logpdf)
+
+
+def categorical_loglik(lvals: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Sum of Categorical(y | logits) log-pmfs."""
+    log_pmf = lvals - jax.scipy.special.logsumexp(lvals, axis=-1, keepdims=True)
+    picked = jnp.take_along_axis(log_pmf, y[..., None].astype(jnp.int32), axis=-1)
+    return jnp.nansum(picked[..., 0])
+
+
+class BayesianModel:
+    """Wraps a Flax module into an unnormalized posterior density."""
+
+    def __init__(
+        self,
+        module: nn.Module,
+        params,  # template ParamTree (defines flat layout)
+        prior: Prior,
+        task: Task,
+        n_batches: int = 1,
+    ):
+        self.module = module
+        self.prior = prior
+        self.task = task
+        self.n_batches = n_batches
+        flat, unravel = ravel_pytree(params)
+        self.dim = int(flat.size)
+        self.unravel = unravel
+        self.flatten = lambda tree: ravel_pytree(tree)[0]
+        logger.info(
+            'BayesianModel: task=%s dim=%d prior=%s', task, self.dim, prior.name
+        )
+
+    # ------------------------------------------------------------ flat API
+    def log_prior(self, theta: jnp.ndarray) -> jnp.ndarray:
+        return self.prior.log_prior(theta)
+
+    def log_likelihood(self, theta: jnp.ndarray, x, y, **kwargs) -> jnp.ndarray:
+        lvals = self.module.apply({'params': self.unravel(theta)}, x, **kwargs)
+        if self.task == Task.REGRESSION:
+            return gaussian_loglik(lvals, y)
+        if self.task == Task.CLASSIFICATION:
+            return categorical_loglik(lvals, y)
+        raise NotImplementedError(f'likelihood for {self.task} not implemented')
+
+    def log_posterior(self, theta: jnp.ndarray, x, y, **kwargs) -> jnp.ndarray:
+        return (
+            self.log_prior(theta)
+            + self.n_batches * self.log_likelihood(theta, x, y, **kwargs)
+        )
+
+    def logdensity_fn(self, x, y, **kwargs) -> Callable[[jnp.ndarray], jnp.ndarray]:
+        """Close over the (device-resident) training data → flat density.
+
+        This closure is THE hot function: its value-and-grad is the dominant
+        FLOPs of sampling (full-batch forward+backward through the net).
+        """
+
+        def logdensity(theta: jnp.ndarray) -> jnp.ndarray:
+            return self.log_posterior(theta, x, y, **kwargs)
+
+        return logdensity
+
+    # ---------------------------------------------------------- pytree API
+    def log_unnormalized_posterior(self, position, x, y, **kwargs) -> jnp.ndarray:
+        """Pytree-position flavour (reference API parity)."""
+        return self.log_posterior(self.flatten(position), x, y, **kwargs)

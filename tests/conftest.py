@@ -3,6 +3,10 @@
 Mirrors the reference's CPU multi-device faking
 (/root/reference/train.py:16) so chain-sharding code paths are exercised
 without TPU hardware.
+
+NOTE: the environment may pre-import jax with a TPU platform selected
+(site customization), so we must override via ``jax.config`` — env vars
+are read once at jax import and would be ignored here.
 """
 import os
 
@@ -15,4 +19,8 @@ if 'xla_force_host_platform_device_count' not in _flags:
 
 import jax  # noqa: E402
 
+jax.config.update('jax_platforms', 'cpu')
 jax.config.update('jax_threefry_partitionable', True)
+
+assert jax.default_backend() == 'cpu', 'tests must run on the CPU platform'
+assert jax.device_count() == 8, 'tests expect 8 virtual CPU devices'
