@@ -77,7 +77,6 @@ def _position_update(
 
 def isokinetic_integrator(
     logdensity_fn: Callable,
-    sqrt_diag_cov: jnp.ndarray | float = 1.0,
     coefficients: tuple[float, ...] = (MCLACHLAN_B1,),
 ) -> Callable:
     """Build a palindromic isokinetic integrator step.
@@ -87,7 +86,11 @@ def isokinetic_integrator(
     (McLachlan) scheme: v(b1 h), x(h/2), v((1-2 b1) h), x(h/2), v(b1 h).
     ``()`` gives isokinetic leapfrog: v(h/2), x(h), v(h/2).
 
-    Returns ``step(state, step_size) -> (state, kinetic_change)``.
+    ``sqrt_diag_cov`` (the diagonal preconditioner) is a RUNTIME argument so
+    adaptation can update it without retracing, and vmap can carry per-chain
+    preconditioners.
+
+    Returns ``step(state, step_size, sqrt_diag_cov) -> (state, kinetic_change)``.
     """
 
     if coefficients == ():
@@ -98,7 +101,8 @@ def isokinetic_integrator(
         v_fracs = [b1, 1.0 - 2.0 * b1, b1]
         x_fracs = [0.5, 0.5]
 
-    def step(state: IntegratorState, step_size: jnp.ndarray):
+    def step(state: IntegratorState, step_size: jnp.ndarray,
+             sqrt_diag_cov: jnp.ndarray | float = 1.0):
         kinetic = 0.0
         u, dk = isokinetic_momentum_update(
             state.momentum, state.logdensity_grad, v_fracs[0] * step_size,
@@ -118,12 +122,12 @@ def isokinetic_integrator(
     return step
 
 
-def isokinetic_mclachlan(logdensity_fn, sqrt_diag_cov=1.0):
-    return isokinetic_integrator(logdensity_fn, sqrt_diag_cov, (MCLACHLAN_B1,))
+def isokinetic_mclachlan(logdensity_fn):
+    return isokinetic_integrator(logdensity_fn, (MCLACHLAN_B1,))
 
 
-def isokinetic_leapfrog(logdensity_fn, sqrt_diag_cov=1.0):
-    return isokinetic_integrator(logdensity_fn, sqrt_diag_cov, ())
+def isokinetic_leapfrog(logdensity_fn):
+    return isokinetic_integrator(logdensity_fn, ())
 
 
 def partially_refresh_momentum(

@@ -47,20 +47,21 @@ def init(
 
 def build_kernel(
     logdensity_fn: Callable,
-    sqrt_diag_cov: jnp.ndarray | float = 1.0,
     integrator: str = 'mclachlan',
 ) -> Callable:
-    """Return ``step(rng_key, state, L, step_size) -> (state, info)``.
+    """Return ``step(rng_key, state, L, step_size, sqrt_diag_cov) -> (state, info)``.
 
     ``L`` is the momentum-decoherence length; ``step_size`` the integration
-    step. Both are per-chain scalars so a vmapped kernel supports
-    independently tuned chains (the reference gets this via pmap).
+    step; ``sqrt_diag_cov`` the diagonal preconditioner. All are runtime
+    values and may be per-chain under vmap, so independently tuned chains
+    run in one program (the reference gets per-chain params via pmap).
     """
     make = isokinetic_mclachlan if integrator == 'mclachlan' else isokinetic_leapfrog
-    integrator_step = make(logdensity_fn, sqrt_diag_cov)
+    integrator_step = make(logdensity_fn)
 
-    def step(rng_key, state: MCLMCState, L, step_size):
-        new_state, kinetic_change = integrator_step(state, step_size)
+    def step(rng_key, state: MCLMCState, L, step_size,
+             sqrt_diag_cov: jnp.ndarray | float = 1.0):
+        new_state, kinetic_change = integrator_step(state, step_size, sqrt_diag_cov)
         momentum = partially_refresh_momentum(
             new_state.momentum, rng_key, step_size, L)
         new_state = new_state._replace(momentum=momentum)
