@@ -1,0 +1,204 @@
+"""Posterior-predictive evaluation for DE and BDE models.
+
+Reference: /root/reference/src/inference/evaluation.py. The reference
+forward-passes samples in a PYTHON LOOP (evaluation.py:37-43, noted as a
+hot spot in SURVEY §3.5); here prediction is ``vmap`` over the (chain,
+sample) axes of FLAT sample matrices under jit — one batched program,
+chunked over samples to bound memory.
+"""
+from __future__ import annotations
+
+import logging
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mile_tpu.config.data import Task
+from mile_tpu.inference import metrics as M
+
+logger = logging.getLogger(__name__)
+
+
+# ------------------------------------------------------------- prediction
+def make_predictor(module, unravel) -> Callable:
+    """jitted (theta, x) -> model outputs, for flat parameter vectors."""
+
+    @jax.jit
+    def predict(theta: jnp.ndarray, x: jnp.ndarray):
+        return module.apply({'params': unravel(theta)}, x)
+
+    return predict
+
+
+def predict_from_flat(module, unravel, flat_samples: jnp.ndarray,
+                      x: jnp.ndarray, sample_batch: int = 256) -> jnp.ndarray:
+    """(S, dim) flat samples -> (S, B, out) predictions, vmapped+chunked."""
+
+    @jax.jit
+    def batch_predict(thetas):
+        return jax.vmap(
+            lambda t: module.apply({'params': unravel(t)}, x))(thetas)
+
+    outs = []
+    for i in range(0, flat_samples.shape[0], sample_batch):
+        outs.append(batch_predict(flat_samples[i:i + sample_batch]))
+    return jnp.concatenate(outs, axis=0)
+
+
+def predict_bde(module, unravel, samples: jnp.ndarray, x: jnp.ndarray,
+                sample_batch: int = 256) -> jnp.ndarray:
+    """(C, S, dim) samples -> (C, S, B, out); chains×samples flattened into
+    one vmapped axis so small chains don't underutilize the device."""
+    c, s, dim = samples.shape
+    flat = samples.reshape(c * s, dim)
+    preds = predict_from_flat(module, unravel, flat, x, sample_batch)
+    return preds.reshape(c, s, *preds.shape[1:])
+
+
+def sample_from_predictions(predictions: jnp.ndarray, task: Task,
+                            rng_key: jax.Array) -> jnp.ndarray:
+    """Draw point predictions from the predictive distribution."""
+    if task == Task.REGRESSION:
+        loc = predictions[..., 0]
+        scale = jnp.clip(jnp.exp(predictions[..., 1]), 1e-6, 1e6)
+        return loc + scale * jax.random.normal(rng_key, loc.shape)
+    return jax.random.categorical(rng_key, logits=predictions)
+
+
+# ------------------------------------------------------------ calibration
+def calibration_error(nominal, observed, weights=None) -> jnp.ndarray:
+    nominal, observed = jnp.asarray(nominal), jnp.asarray(observed)
+    sq = jnp.square(nominal - observed)
+    if weights is not None:
+        sq = weights * sq
+    return jnp.sqrt(jnp.mean(sq))
+
+
+def calculate_coverage(nominal_coverages, y: jnp.ndarray,
+                       preds: jnp.ndarray) -> jnp.ndarray:
+    """Empirical coverage of central credible intervals.
+
+    ``preds``: sampled point predictions (n_chains, n_samples, N).
+    """
+    flat = preds.reshape(-1, preds.shape[-1])
+    out = []
+    for cov in nominal_coverages:
+        lo, hi = 0.5 - cov / 2, 0.5 + cov / 2
+        qs = jnp.quantile(flat, jnp.array([lo, hi]), axis=0)
+        out.append(jnp.mean((qs[0] <= y) & (y <= qs[1])))
+    return jnp.array(out)
+
+
+def _majority_vote(draws: np.ndarray, axis: tuple) -> np.ndarray:
+    """Mode over the given leading axes of integer class draws."""
+    draws = np.asarray(draws)
+    moved = np.moveaxis(draws, axis, tuple(range(len(axis))))
+    flat = moved.reshape(-1, *moved.shape[len(axis):])  # (votes, N)
+    n_classes = int(flat.max()) + 1
+    one_hot = np.eye(n_classes, dtype=np.int64)[flat]   # (votes, N, K)
+    return one_hot.sum(axis=0).argmax(axis=-1)
+
+
+# -------------------------------------------------------------- evaluation
+def evaluate_bde(
+    module,
+    unravel,
+    samples: jnp.ndarray,        # (C, S, dim) flat samples
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    task: Task,
+    rng_key: jax.Array = None,
+    nominal_coverages: Optional[list] = None,
+    sample_batch: int = 256,
+    metrics_dict: Optional[dict] = None,
+    verbose: bool = True,
+) -> tuple[jnp.ndarray, dict]:
+    """Pooled + per-chain posterior-predictive metrics.
+
+    Returns (predictions (C,S,B,out), metrics dict with lppd/nll/rmse|acc,
+    per-chain lists, coverage + calibration for regression).
+    """
+    metrics_dict = dict(metrics_dict or {})
+    rng_key = jax.random.PRNGKey(42) if rng_key is None else rng_key
+    preds = predict_bde(module, unravel, jnp.asarray(samples), x, sample_batch)
+
+    # NaN-chain exclusion (reference evaluation.py:493-497)
+    nan_chains = np.asarray(jnp.isnan(preds).any(axis=tuple(range(1, preds.ndim))))
+    if nan_chains.any() and not nan_chains.all():
+        logger.warning('chains %s have NaN predictions; excluding',
+                       np.where(nan_chains)[0])
+        ok = ~nan_chains
+    else:
+        ok = np.ones(preds.shape[0], dtype=bool)
+
+    pw = M.pointwise_lppd(preds[ok], y, task)
+    metrics_dict['lppd'] = float(M.lppd(pw))
+    metrics_dict['nll'] = float(-pw.mean())
+    per_chain = [float(M.lppd(M.pointwise_lppd(p, y, task))) for p in preds]
+    metrics_dict['lppd_per_chain'] = per_chain
+
+    point = sample_from_predictions(preds, task, rng_key)
+    if task == Task.REGRESSION:
+        mean_pred = preds[ok, ..., 0].mean(axis=(0, 1))
+        metrics_dict['rmse'] = float(jnp.sqrt(jnp.mean((y - mean_pred) ** 2)))
+        if nominal_coverages:
+            coverage = calculate_coverage(nominal_coverages, y, point[ok])
+            metrics_dict['cal_error'] = float(
+                calibration_error(jnp.array(nominal_coverages), coverage))
+            for c, v in zip(nominal_coverages, coverage):
+                metrics_dict[f'coverage_{c}'] = float(v)
+    else:
+        vote = _majority_vote(np.asarray(point[ok]), axis=(0, 1))
+        metrics_dict['acc'] = float(np.mean(np.asarray(y) == vote))
+
+    if verbose:
+        key = 'rmse' if task == Task.REGRESSION else 'acc'
+        logger.info('BDE | LPPD: %.3f, %s: %.4f',
+                    metrics_dict['lppd'], key.upper(), metrics_dict[key])
+    return preds, metrics_dict
+
+
+def evaluate_de(
+    module,
+    params,                      # member-stacked ParamTree
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    task: Task,
+    rng_key: jax.Array = None,
+    n_samples: int = 0,
+    nominal_coverages: Optional[list] = None,
+    metrics_dict: Optional[dict] = None,
+    verbose: bool = True,
+) -> tuple[jnp.ndarray, dict]:
+    """Deep-ensemble metrics (reference evaluate_de, evaluation.py:206-331)."""
+    metrics_dict = dict(metrics_dict or {})
+    rng_key = jax.random.PRNGKey(42) if rng_key is None else rng_key
+
+    preds = jax.vmap(lambda p: module.apply({'params': p}, x))(params)
+
+    pw = M.pointwise_lppd(preds[:, None], y, task)  # members as chains
+    metrics_dict['de_lppd'] = float(M.lppd(pw))
+    if task == Task.REGRESSION:
+        mean_pred = preds[..., 0].mean(axis=0)
+        metrics_dict['de_rmse'] = float(jnp.sqrt(jnp.mean((y - mean_pred) ** 2)))
+        if nominal_coverages and n_samples:
+            keys = jax.random.split(rng_key, n_samples)
+            point = jax.vmap(
+                lambda k: sample_from_predictions(preds, task, k),
+                out_axes=1)(keys)  # (members, n_samples, N)
+            coverage = calculate_coverage(nominal_coverages, y, point)
+            metrics_dict['de_cal_error'] = float(
+                calibration_error(jnp.array(nominal_coverages), coverage))
+            for c, v in zip(nominal_coverages, coverage):
+                metrics_dict[f'de_coverage_{c}'] = float(v)
+    else:
+        vote = _majority_vote(np.asarray(preds.argmax(axis=-1)), axis=(0,))
+        metrics_dict['de_acc'] = float(np.mean(np.asarray(y) == vote))
+
+    if verbose:
+        key = 'de_rmse' if task == Task.REGRESSION else 'de_acc'
+        logger.info('DE | LPPD: %.3f, %s: %.4f',
+                    metrics_dict['de_lppd'], key.upper(), metrics_dict[key])
+    return preds, metrics_dict

@@ -1,0 +1,157 @@
+"""Experiment report generation.
+
+Reference: /root/reference/src/inference/reporting.py + inference.ipynb
+(25-cell parameterized notebook → report.html). We generate the same
+artifacts — ``diagnostics.csv`` (per-layer ESS / BCV / WCV / split R-hat),
+``report.html``, metrics tables, timing summary — directly from Python:
+no notebook execution machinery, and the diagnostics are computed on
+device with the vectorized implementations in
+:mod:`mile_tpu.inference.metrics`.
+"""
+from __future__ import annotations
+
+import html
+import logging
+import pickle
+import re
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mile_tpu.inference import metrics as M
+from mile_tpu.train import checkpoint as ckpt
+
+logger = logging.getLogger(__name__)
+
+TIME_RE = re.compile(r'(time\.\w+) took ([0-9.]+) seconds')
+
+
+def parse_times(log_path: Path) -> dict:
+    """Parse ``time.warmstart took Xs`` lines (reference notebook cell 4)."""
+    times: dict = {}
+    if log_path.exists():
+        for match in TIME_RE.finditer(log_path.read_text()):
+            times[match.group(1)] = float(match.group(2))
+    return times
+
+
+def layer_slices(template_params) -> dict:
+    """Map each layer (top-level path) to its slice of the flat vector."""
+    out, offset = {}, 0
+    flat_with_path = jax.tree_util.tree_flatten_with_path(template_params)[0]
+    for path, leaf in flat_with_path:
+        name = jax.tree_util.keystr(path)
+        out[name] = slice(offset, offset + leaf.size)
+        offset += leaf.size
+    return out
+
+
+def compute_diagnostics(samples: np.ndarray, template_params=None,
+                        max_params_per_layer: int = 512) -> dict:
+    """Per-layer mean ESS / R-hat / between- and within-chain variance.
+
+    ``samples``: (n_chains, n_kept, dim) flat samples.
+    """
+    x = jnp.asarray(samples)
+    slices = (layer_slices(template_params) if template_params is not None
+              else {'all': slice(None)})
+    n = x.shape[1] - (x.shape[1] % 4) if x.shape[1] >= 8 else x.shape[1]
+    rows = {}
+    for name, sl in slices.items():
+        block = x[:, :n, sl]
+        if block.shape[-1] > max_params_per_layer:
+            idx = np.linspace(0, block.shape[-1] - 1,
+                              max_params_per_layer).astype(int)
+            block = block[..., idx]
+        ess = M.effective_sample_size(block)
+        rows[name] = {
+            'ess': float(jnp.nanmean(ess)),
+            'bcv': float(jnp.nanmean(M.between_chain_var(block))),
+            'wcv': float(jnp.nanmean(M.within_chain_var(block))),
+            'split_rhat': float(jnp.nanmean(
+                M.gelman_split_r_hat(block, n_splits=4)))
+            if n >= 8 else float('nan'),
+        }
+    return rows
+
+
+def write_diagnostics_csv(path: Path, rows: dict) -> None:
+    with open(path, 'w') as f:
+        f.write('layer,ess,bcv,wcv,split_rhat\n')
+        for name, r in rows.items():
+            f.write(f'{name},{r["ess"]},{r["bcv"]},{r["wcv"]},'
+                    f'{r["split_rhat"]}\n')
+
+
+def _table(d: dict) -> str:
+    rows = ''.join(
+        f'<tr><td>{html.escape(str(k))}</td>'
+        f'<td>{html.escape(_fmt(v))}</td></tr>'
+        for k, v in d.items())
+    return f'<table border=1 cellpadding=4>{rows}</table>'
+
+
+def _fmt(v) -> str:
+    if isinstance(v, float):
+        return f'{v:.4f}'
+    if isinstance(v, np.ndarray):
+        return np.array2string(np.asarray(v), precision=4)
+    return str(v)
+
+
+def generate_report(exp_dir: str | Path, config=None) -> Path:
+    """Assemble report.html + diagnostics.csv from run artifacts."""
+    exp_dir = Path(exp_dir)
+    times = parse_times(exp_dir / 'training.log')
+
+    metrics = {}
+    mfile = exp_dir / 'metrics.pkl'
+    if mfile.exists():
+        with open(mfile, 'rb') as f:
+            metrics = pickle.load(f)
+
+    sections = [
+        '<h1>MILE-TPU experiment report</h1>',
+        f'<p>experiment dir: {html.escape(str(exp_dir))}</p>',
+        '<h2>Wall times</h2>', _table(times),
+        '<h2>Metrics</h2>', _table(metrics),
+    ]
+
+    try:
+        samples = ckpt.load_flat_samples(exp_dir / 'samples')
+        template = None
+        if config is not None:
+            # rebuild a template to name layers
+            import jax.random as jr
+
+            from mile_tpu.data import build_loader
+
+            loader = build_loader(config.data, jr.PRNGKey(config.rng),
+                                  target_len=config.data.target_len,
+                                  tokenizer_config=config.training.tokenizer)
+            module = config.get_model()
+            x, _ = loader.arrays('train')
+            template = module.init(jr.PRNGKey(0), x[:1])['params']
+        diag = compute_diagnostics(samples, template)
+        write_diagnostics_csv(exp_dir / 'diagnostics.csv', diag)
+        sections += ['<h2>Chain diagnostics (per layer)</h2>',
+                     _table({k: f"ESS={v['ess']:.1f} R-hat={v['split_rhat']:.3f} "
+                                f"BCV={v['bcv']:.4g} WCV={v['wcv']:.4g}"
+                             for k, v in diag.items()})]
+    except FileNotFoundError:
+        logger.info('no samples found; skipping diagnostics section')
+
+    wp = exp_dir / 'warmup_params.txt'
+    if wp.exists():
+        eps, L = ckpt.load_warmup_params(wp)
+        sections += ['<h2>Tuned sampler parameters</h2>',
+                     _table({'step_size mean±std':
+                             f'{eps.mean():.4g} ± {eps.std():.4g}',
+                             'L mean±std': f'{L.mean():.4g} ± {L.std():.4g}'})]
+
+    out = exp_dir / 'report.html'
+    out.write_text('<html><body>' + '\n'.join(sections) + '</body></html>')
+    logger.info('report written to %s', out)
+    return out

@@ -1,0 +1,192 @@
+"""Sampling runtime: warmup + posterior draws as one sharded program.
+
+Reference: /root/reference/src/training/sampling.py:32-292. Architectural
+translation (SURVEY §7.1):
+
+- chains = vmapped batch axis sharded over the mesh (reference: pmap over
+  at most n_devices chains + Python chain-batch loop);
+- samples accumulate in a device-side thinned buffer collected by the
+  ``lax.scan`` (reference: one host ``io_callback`` + .npz PER DRAW inside
+  the scan, serializing device steps on host IO);
+- draws stream to host in chunks, bounding HBM for long runs.
+"""
+from __future__ import annotations
+
+import logging
+import math
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mile_tpu.config.training import Sampler, SamplerConfig
+from mile_tpu.mcmc import mclmc
+from mile_tpu.mcmc.adaptation.mclmc_tuning import TuningConfig, mclmc_tune
+from mile_tpu.parallel.mesh import shard_chains
+
+logger = logging.getLogger(__name__)
+
+
+class SamplingResult(NamedTuple):
+    samples: np.ndarray          # (n_chains, n_kept, dim)
+    tuned: dict                  # tuned hyperparameters per chain
+    info: dict                   # per-draw statistics (e.g. energy_change)
+    final_state: object
+
+
+def _tuning_config(cfg: SamplerConfig) -> TuningConfig:
+    return TuningConfig(
+        warmup_steps=cfg.warmup_steps,
+        step_size_init=cfg.step_size_init,
+        desired_energy_var_start=cfg.desired_energy_var_start,
+        desired_energy_var_end=cfg.desired_energy_var_end,
+        trust_in_estimate=cfg.trust_in_estimate,
+        num_effective_samples=cfg.num_effective_samples,
+        diagonal_preconditioning=cfg.diagonal_preconditioning,
+    )
+
+
+def warmup_mclmc(
+    logdensity_fn: Callable,
+    cfg: SamplerConfig,
+    rng_key: jax.Array,
+    positions: jnp.ndarray,  # (n_chains, dim)
+    mesh=None,
+):
+    """Tune (ε, L, preconditioner) for every chain simultaneously."""
+    tcfg = _tuning_config(cfg)
+    n_chains = positions.shape[0]
+    keys = jax.random.split(rng_key, n_chains)
+    if mesh is not None:
+        positions = shard_chains(positions, mesh)
+        keys = shard_chains(keys, mesh)
+
+    tune = jax.jit(jax.vmap(lambda p, k: mclmc_tune(logdensity_fn, p, k, tcfg)))
+    states, params = jax.block_until_ready(tune(positions, keys))
+    return states, params
+
+
+def run_mclmc(
+    logdensity_fn: Callable,
+    cfg: SamplerConfig,
+    rng_key: jax.Array,
+    init_positions: jnp.ndarray,   # (n_chains, dim)
+    mesh=None,
+    max_chunk_bytes: int = 1 << 30,
+    sample_sink: Optional[Callable] = None,
+) -> SamplingResult:
+    """Full MCLMC pipeline: warmup then ``n_samples`` kernel steps per
+    chain, keeping every ``n_thinning``-th position.
+
+    ``sample_sink(chunk, start_index)`` (optional) receives each host chunk
+    of shape (n_chains, chunk_kept, dim) as it becomes available — IO
+    overlaps the next chunk's device compute.
+    """
+    n_chains, dim = init_positions.shape
+    warmup_key, sample_key = jax.random.split(rng_key)
+
+    logger.info('> starting MCLMC warmup (%d chains, %d steps)...',
+                n_chains, cfg.warmup_steps)
+    states, params = warmup_mclmc(logdensity_fn, cfg, warmup_key,
+                                  init_positions, mesh)
+    logger.info('> warmup done: step_size=%s L=%s',
+                np.asarray(params.step_size), np.asarray(params.L))
+
+    kernel = mclmc.build_kernel(logdensity_fn)
+    thin = cfg.n_thinning
+    n_kept = math.ceil(cfg.n_samples / thin)
+
+    # chunk so a block's sample buffer stays under max_chunk_bytes
+    bytes_per_kept = n_chains * dim * 4
+    chunk_kept = max(1, min(n_kept, max_chunk_bytes // max(bytes_per_kept, 1)))
+    n_chunks = math.ceil(n_kept / chunk_kept)
+
+    def chain_block(key, state, L, step_size, sqrt_diag_cov, n_block):
+        """One chain: n_block kept draws (thin kernel steps each)."""
+
+        def outer(state, key):
+            def inner(state, k):
+                state, info = kernel(k, state, L, step_size, sqrt_diag_cov)
+                return state, info.energy_change
+
+            state, de = jax.lax.scan(
+                inner, state, jax.random.split(key, thin))
+            return state, (state.position, de[-1])
+
+        state, (positions, de) = jax.lax.scan(
+            outer, state, jax.random.split(key, n_block))
+        return state, positions, de
+
+    block_fn = jax.jit(
+        jax.vmap(chain_block, in_axes=(0, 0, 0, 0, 0, None)),
+        static_argnums=(5,))
+
+    if mesh is not None:
+        states = shard_chains(states, mesh)
+        params = shard_chains(params, mesh)
+
+    chain_keys = jax.random.split(sample_key, n_chains)
+    if mesh is not None:
+        chain_keys = shard_chains(chain_keys, mesh)
+
+    logger.info('> starting MCLMC sampling: %d kept draws x %d chains '
+                '(%d chunks)...', n_kept, n_chains, n_chunks)
+    host_chunks, energy_chunks = [], []
+    state = states
+    kept_done = 0
+    pending = None  # overlap device compute with host transfer
+    for chunk in range(n_chunks):
+        block = min(chunk_kept, n_kept - kept_done)
+        chain_keys = jax.vmap(jax.random.fold_in)(
+            chain_keys, jnp.full(n_chains, chunk, dtype=jnp.uint32))
+        state, positions, de = block_fn(
+            chain_keys, state, params.L, params.step_size,
+            params.sqrt_diag_cov, block)
+        if pending is not None:
+            _drain(pending, host_chunks, energy_chunks, sample_sink)
+        # (chains, block, dim) already chain-major
+        pending = (positions, de, kept_done)
+        kept_done += block
+    _drain(pending, host_chunks, energy_chunks, sample_sink)
+    jax.block_until_ready(state)
+
+    samples = np.concatenate(host_chunks, axis=1)
+    energy = np.concatenate(energy_chunks, axis=1)
+    tuned = {
+        'step_size': np.asarray(params.step_size),
+        'L': np.asarray(params.L),
+        'sqrt_diag_cov': np.asarray(params.sqrt_diag_cov),
+    }
+    info = {'energy_change': energy}
+    logger.info('> MCLMC sampling completed.')
+    return SamplingResult(samples, tuned, info, state)
+
+
+def _drain(pending, host_chunks, energy_chunks, sample_sink):
+    positions, de, start = pending
+    chunk = np.asarray(jax.device_get(positions))
+    host_chunks.append(chunk)
+    energy_chunks.append(np.asarray(jax.device_get(de)))
+    if sample_sink is not None:
+        sample_sink(chunk, start)
+
+
+def run_sampler(
+    logdensity_fn: Callable,
+    cfg: SamplerConfig,
+    rng_key: jax.Array,
+    init_positions: jnp.ndarray,
+    mesh=None,
+    **kwargs,
+) -> SamplingResult:
+    """Dispatch on the configured sampling algorithm."""
+    if cfg.name == Sampler.MCLMC:
+        return run_mclmc(logdensity_fn, cfg, rng_key, init_positions, mesh,
+                         **kwargs)
+    if cfg.name in (Sampler.NUTS, Sampler.HMC):
+        from mile_tpu.train.sampling_hmc import run_hmc_family
+
+        return run_hmc_family(logdensity_fn, cfg, rng_key, init_positions,
+                              mesh, **kwargs)
+    raise NotImplementedError(f'sampler {cfg.name} not implemented')

@@ -1,0 +1,166 @@
+"""Experiment orchestrator: warmstart → sampling → evaluation.
+
+Reference: /root/reference/src/training/trainer.py:42-659 (``BDETrainer``).
+Key structural difference: NO ``train_plan`` chain batching — the whole
+ensemble/chain population is one sharded batch axis over a device mesh,
+so every phase is a single compiled program regardless of device count.
+"""
+from __future__ import annotations
+
+import logging
+import pickle
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mile_tpu.bayes import BayesianModel
+from mile_tpu.config import Config, Sampler, Task
+from mile_tpu.data import build_loader
+from mile_tpu.inference.evaluation import evaluate_bde, evaluate_de
+from mile_tpu.parallel.mesh import chain_mesh, pick_chain_device_count
+from mile_tpu.train import checkpoint as ckpt
+from mile_tpu.train.sampling import SamplingResult, run_sampler
+from mile_tpu.train.warmstart import train_ensemble
+from mile_tpu.utils.timing import measure_time
+
+logger = logging.getLogger(__name__)
+
+NOMINAL_COVERAGES = [0.5, 0.75, 0.9, 0.95]
+
+
+class BDETrainer:
+    """Bayesian-deep-ensemble training pipeline for one experiment config."""
+
+    def __init__(self, config: Config, n_devices: Optional[int] = None):
+        self.config = config
+        self.exp_dir: Path = config.setup_dir()
+        sampler_cfg = config.training.sampler
+        self.n_chains = sampler_cfg.n_chains
+
+        n_dev = pick_chain_device_count(self.n_chains, n_devices)
+        self.mesh = chain_mesh(n_dev)
+        logger.info('mesh: %d device(s) for %d chains', n_dev, self.n_chains)
+
+        key = jax.random.PRNGKey(config.rng)
+        self._key_loader, self._key_init, self._key_train, self._key_sample = (
+            jax.random.split(key, 4))
+
+        self.loader = build_loader(
+            config.data, self._key_loader,
+            target_len=config.data.target_len,
+            tokenizer_config=config.training.tokenizer)
+        self.module = config.get_model()
+        x_sample, _ = self.loader.arrays('train')
+        template = self.module.init(self._key_init, x_sample[:1])['params']
+        self.prior = sampler_cfg.prior_config.build()
+        self.bayes = BayesianModel(
+            self.module, template, self.prior, config.data.task)
+        self._template = template
+        logger.info('model dim=%d', self.bayes.dim)
+
+    # ------------------------------------------------------------- paths
+    @property
+    def warmstart_dir(self) -> Path:
+        return self.exp_dir / 'warmstart'
+
+    @property
+    def samples_dir(self) -> Path:
+        return self.exp_dir / 'samples'
+
+    # ------------------------------------------------------------ phases
+    def train_warmstart(self):
+        """Deep-ensemble pre-training (or checkpoint reuse).
+
+        Returns member-stacked ParamTree with leading chain axis.
+        """
+        cfg = self.config.training.warmstart
+        with measure_time('time.warmstart'):
+            if cfg.warmstart_exp_dir:
+                src = Path(cfg.warmstart_exp_dir) / 'warmstart'
+                ids = ckpt.list_checkpoints(src)
+                if len(ids) < self.n_chains:
+                    raise ValueError(
+                        f'warmstart dir {src} has {len(ids)} checkpoints, '
+                        f'need {self.n_chains}')
+                logger.info('reusing warmstart checkpoints from %s', src)
+                params = ckpt.load_params_batch(src, ids[: self.n_chains])
+            elif cfg.include:
+                params, store = train_ensemble(
+                    self.module, self.loader, cfg, self.config.data.task,
+                    self.n_chains, self._key_train, self.mesh)
+                store.save(self.warmstart_dir / 'metrics.pkl')
+            else:
+                logger.info('warmstart disabled; sampling from fresh inits')
+                keys = jax.random.split(self._key_train, self.n_chains)
+                x, _ = self.loader.arrays('train')
+                params = jax.vmap(
+                    lambda k: self.module.init(k, x[:1])['params'])(keys)
+
+        for i in range(self.n_chains):
+            ckpt.save_params(
+                self.warmstart_dir, jax.tree.map(lambda a: a[i], params), i)
+        return params
+
+    def start_sampling(self, member_params) -> SamplingResult:
+        """Run MCMC from the ensemble members' weights."""
+        x, y = self.loader.arrays('train')
+        logdensity = self.bayes.logdensity_fn(x, y)
+        positions = jax.vmap(self.bayes.flatten)(member_params)
+
+        with measure_time('time.sampling'):
+            result = run_sampler(
+                logdensity, self.config.training.sampler, self._key_sample,
+                positions, self.mesh)
+
+        ckpt.save_samples(self.samples_dir, result.samples)
+        ckpt.save_treedef(self.samples_dir, jax.tree.structure(self._template))
+        if self.config.training.sampler.name == Sampler.MCLMC:
+            ckpt.save_warmup_params(
+                self.exp_dir / 'warmup_params.txt',
+                result.tuned['step_size'], result.tuned['L'])
+        with open(self.samples_dir / 'info.pkl', 'wb') as f:
+            pickle.dump({**result.info, **result.tuned}, f)
+        return result
+
+    def evaluate(self, member_params, result: SamplingResult) -> dict:
+        """Posterior-predictive metrics on the test split → metrics.pkl."""
+        x, y = self.loader.arrays('test')
+        task = self.config.data.task
+        nominal = NOMINAL_COVERAGES if task == Task.REGRESSION else None
+        metrics: dict = {}
+        _, metrics = evaluate_de(
+            self.module, member_params, x, y, task,
+            n_samples=100, nominal_coverages=nominal, metrics_dict=metrics)
+        _, metrics = evaluate_bde(
+            self.module, self.bayes.unravel, jnp.asarray(result.samples),
+            x, y, task, nominal_coverages=nominal, metrics_dict=metrics)
+        metrics['step_size'] = result.tuned.get('step_size')
+        metrics['L'] = result.tuned.get('L')
+        with open(self.exp_dir / 'metrics.pkl', 'wb') as f:
+            pickle.dump(metrics, f)
+        return metrics
+
+    # -------------------------------------------------------------- main
+    def train(self, report: bool = True) -> dict:
+        member_params = self.train_warmstart()
+        result = self.start_sampling(member_params)
+        metrics = self.evaluate(member_params, result)
+        if report:
+            try:
+                from mile_tpu.inference.reporting import generate_report
+
+                generate_report(self.exp_dir, self.config)
+            except Exception:  # report failures must not kill the run
+                logger.exception('report generation failed')
+        return metrics
+
+    # reference API alias (trainer.py:145)
+    train_bde = train
+
+
+def train_bde(config: Config, n_devices: Optional[int] = None) -> dict:
+    """Module-level entry (reference train.py:11-19)."""
+    return BDETrainer(config, n_devices=n_devices).train()
