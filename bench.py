@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Headline benchmark: MCLMC posterior sampling throughput on the airfoil BNN.
+
+The reference's headline workload (README.md:9-14 +
+experiments/illustrative_example_readme/mclmc.yaml): UCI airfoil, FCN
+[16,16,16,2], 12 chains. We measure steady-state sampler throughput —
+total MCLMC kernel steps per second across all chains (each step = one
+full-batch posterior fwd+bwd + isokinetic update + momentum refresh).
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+``vs_baseline`` compares against the reference-equivalent CPU throughput
+measured on this container's 2-vCPU host (the reference is CPU-only —
+SURVEY §6; 12 chains via fake devices). See CPU_BASELINE_SAMPLES_PER_SEC.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+# Reference-equivalent throughput on this container's CPU host
+# (same workload, this framework on JAX_PLATFORMS=cpu, 12 chains;
+# measured with bench.py --cpu-baseline).
+CPU_BASELINE_SAMPLES_PER_SEC = 2446.0
+
+N_CHAINS = 12
+HIDDEN = [16, 16, 16, 2]
+WARMUP_STEPS = 2000
+TIMED_STEPS = 3000
+
+
+def build_workload():
+    from mile_tpu.bayes import BayesianModel, Prior
+    from mile_tpu.config import DataConfig, FCNConfig, PriorDist, Task
+    from mile_tpu.data import TabularLoader
+    from mile_tpu.models import build_model
+
+    data_cfg = DataConfig(path='data/airfoil.data', task=Task.REGRESSION,
+                          train_split=0.7, valid_split=0.1, test_split=0.2)
+    loader = TabularLoader(data_cfg, jax.random.PRNGKey(0))
+    module = build_model(FCNConfig(hidden_structure=HIDDEN))
+    x, y = loader.arrays('train')
+    template = module.init(jax.random.PRNGKey(1), x[:1])['params']
+    bayes = BayesianModel(module, template,
+                          Prior.from_name(PriorDist.STANDARD_NORMAL),
+                          Task.REGRESSION)
+    return bayes, bayes.logdensity_fn(x, y)
+
+
+def main() -> None:
+    from mile_tpu.config import SamplerConfig
+    from mile_tpu.mcmc import mclmc
+    from mile_tpu.train.sampling import warmup_mclmc
+
+    bayes, logdensity = build_workload()
+    cfg = SamplerConfig(warmup_steps=WARMUP_STEPS, n_chains=N_CHAINS,
+                        n_samples=TIMED_STEPS, step_size_init=0.01,
+                        desired_energy_var_start=0.5,
+                        desired_energy_var_end=0.1)
+
+    keys = jax.random.split(jax.random.PRNGKey(2), N_CHAINS)
+    positions = jax.vmap(
+        lambda k: 0.1 * jax.random.normal(k, (bayes.dim,)))(keys)
+
+    states, params = warmup_mclmc(logdensity, cfg, jax.random.PRNGKey(3),
+                                  positions)
+
+    kernel = mclmc.build_kernel(logdensity)
+
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=(2,))
+    def run_block(keys, states, n):
+        def chain(key, state, L, eps, sdc):
+            def step(state, k):
+                state, info = kernel(k, state, L, eps, sdc)
+                return state, info.energy_change
+
+            state, de = jax.lax.scan(step, state, jax.random.split(key, n))
+            return state, de[-1]
+
+        return jax.vmap(chain, in_axes=(0, 0, 0, 0, 0))(
+            keys, states, params.L, params.step_size, params.sqrt_diag_cov)
+
+    # compile + warm the pipeline
+    states, _ = jax.block_until_ready(
+        run_block(keys, states, TIMED_STEPS))
+
+    keys2 = jax.vmap(jax.random.fold_in)(
+        keys, jnp.ones(N_CHAINS, dtype=jnp.uint32))
+    t0 = time.perf_counter()
+    states, de = jax.block_until_ready(run_block(keys2, states, TIMED_STEPS))
+    elapsed = time.perf_counter() - t0
+
+    samples_per_sec = N_CHAINS * TIMED_STEPS / elapsed
+    print(json.dumps({
+        'metric': 'mclmc_airfoil_samples_per_sec',
+        'value': round(samples_per_sec, 1),
+        'unit': 'posterior samples/s (12 chains, full-batch airfoil FCN)',
+        'vs_baseline': round(samples_per_sec / CPU_BASELINE_SAMPLES_PER_SEC, 2),
+    }))
+
+
+if __name__ == '__main__':
+    import sys
+
+    if '--cpu-baseline' in sys.argv:
+        jax.config.update('jax_platforms', 'cpu')
+    main()
