@@ -1,0 +1,147 @@
+"""Stan-style window adaptation for the HMC family (NUTS/HMC).
+
+Reference consumes BlackJAX's ``window_adaptation`` base + schedule
+(/root/reference/src/training/warmup.py:27-150). Native reimplementation:
+
+- schedule: fast(75) | doubling slow windows starting at 25 | fast(50),
+  scaled down proportionally for small budgets (Stan's rules);
+- fast phases: dual-averaging of the step size only;
+- slow windows: dual averaging + Welford estimation of the diagonal
+  inverse mass matrix; at window end the mass matrix is adopted, Welford
+  resets, and dual averaging restarts at the current step size.
+
+Single-chain + vmap, like everything else in :mod:`mile_tpu.mcmc` — each
+chain adapts its own (ε, M⁻¹) simultaneously (the reference pmaps).
+"""
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mile_tpu.mcmc.adaptation.dual_averaging import (
+    DualAveragingState,
+    da_final,
+    da_init,
+    da_update,
+)
+from mile_tpu.mcmc.adaptation.mass_matrix import (
+    WelfordState,
+    welford_init,
+    welford_update,
+    welford_variance,
+)
+
+
+def build_schedule(num_steps: int, initial_buffer: int = 75,
+                   final_buffer: int = 50, first_window: int = 25
+                   ) -> np.ndarray:
+    """Per-step stage labels: 0 = fast, 1 = slow, 2 = slow-window-end.
+
+    Mirrors Stan's logic (and BlackJAX ``build_schedule``): if the budget
+    is under 20 steps everything is fast; small budgets shrink the buffers
+    15%/10%/75%; slow windows double until the remainder fits.
+    """
+    if num_steps < 20:
+        return np.zeros(num_steps, dtype=np.int32)
+    if initial_buffer + first_window + final_buffer > num_steps:
+        initial_buffer = int(0.15 * num_steps)
+        final_buffer = int(0.1 * num_steps)
+        first_window = num_steps - initial_buffer - final_buffer
+
+    schedule = np.zeros(num_steps, dtype=np.int32)
+    slow_total = num_steps - initial_buffer - final_buffer
+    pos, size = initial_buffer, first_window
+    while pos < initial_buffer + slow_total:
+        remaining = initial_buffer + slow_total - pos
+        if size * 3 > remaining:  # last window absorbs the remainder
+            size = remaining
+        end = pos + size
+        schedule[pos:end] = 1
+        schedule[end - 1] = 2
+        pos, size = end, size * 2
+    return schedule
+
+
+class WindowAdaptState(NamedTuple):
+    da: DualAveragingState
+    welford: WelfordState
+    inverse_mass_matrix: jnp.ndarray
+
+
+def window_adaptation_init(position: jnp.ndarray,
+                           initial_step_size: float = 1.0) -> WindowAdaptState:
+    dim = position.shape[0]
+    return WindowAdaptState(
+        da=da_init(initial_step_size),
+        welford=welford_init(dim),
+        inverse_mass_matrix=jnp.ones(dim),
+    )
+
+
+def window_adaptation_update(
+    adapt: WindowAdaptState,
+    stage: jnp.ndarray,            # 0 fast, 1 slow, 2 slow end
+    position: jnp.ndarray,
+    acceptance_rate: jnp.ndarray,
+    target_acceptance_rate: float = 0.8,
+) -> WindowAdaptState:
+    da = da_update(adapt.da, acceptance_rate, target=target_acceptance_rate)
+
+    in_slow = stage >= 1
+    welford = jax.tree.map(
+        lambda new, old: jnp.where(in_slow, new, old),
+        welford_update(adapt.welford, position), adapt.welford)
+
+    # at a slow-window end: adopt variance, reset welford + dual averaging
+    at_end = stage == 2
+    new_imm = welford_variance(welford)
+    inverse_mass_matrix = jnp.where(at_end, new_imm,
+                                    adapt.inverse_mass_matrix)
+    welford = jax.tree.map(
+        lambda fresh, cur: jnp.where(at_end, fresh, cur),
+        welford_init(position.shape[0]), welford)
+    da = jax.tree.map(
+        lambda fresh, cur: jnp.where(at_end, fresh, cur),
+        da_init(jnp.exp(da.log_step_size)), da)
+
+    return WindowAdaptState(da, welford, inverse_mass_matrix)
+
+
+def window_adaptation_final(adapt: WindowAdaptState):
+    return da_final(adapt.da), adapt.inverse_mass_matrix
+
+
+def run_window_adaptation(
+    kernel: Callable,              # step(key, state, eps, inv_mass) -> (state, info)
+    init_state,
+    rng_key: jax.Array,
+    num_steps: int,
+    initial_step_size: float = 1.0,
+    target_acceptance_rate: float = 0.8,
+):
+    """Adapt one chain for ``num_steps``; returns (state, step_size, inv_mass).
+
+    The schedule is a host-side constant array scanned alongside the keys,
+    so the whole warmup is ONE ``lax.scan`` program.
+    """
+    schedule = jnp.asarray(build_schedule(num_steps))
+    adapt = window_adaptation_init(init_state.position, initial_step_size)
+
+    def one_step(carry, xs):
+        state, adapt = carry
+        stage, key = xs
+        state, info = kernel(key, state, jnp.exp(adapt.da.log_step_size),
+                             adapt.inverse_mass_matrix)
+        adapt = window_adaptation_update(
+            adapt, stage, state.position, info.acceptance_rate,
+            target_acceptance_rate)
+        return (state, adapt), None
+
+    keys = jax.random.split(rng_key, num_steps)
+    (state, adapt), _ = jax.lax.scan(one_step, (init_state, adapt),
+                                     (schedule, keys))
+    step_size, inverse_mass_matrix = window_adaptation_final(adapt)
+    return state, step_size, inverse_mass_matrix

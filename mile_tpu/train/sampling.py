@@ -163,11 +163,12 @@ def run_mclmc(
     return SamplingResult(samples, tuned, info, state)
 
 
-def _drain(pending, host_chunks, energy_chunks, sample_sink):
-    positions, de, start = pending
+def _drain(pending, host_chunks, aux_chunks, sample_sink):
+    """Move a finished device chunk to host; aux may be any pytree."""
+    positions, aux, start = pending
     chunk = np.asarray(jax.device_get(positions))
     host_chunks.append(chunk)
-    energy_chunks.append(np.asarray(jax.device_get(de)))
+    aux_chunks.append(jax.device_get(aux))
     if sample_sink is not None:
         sample_sink(chunk, start)
 

@@ -1,0 +1,123 @@
+"""NUTS / HMC sampling runtime: window adaptation + draws, chain-sharded.
+
+Reference: warmup_nuts + NUTS branch of inference_loop
+(/root/reference/src/training/sampling.py:70-80,200-216). Same TPU-native
+structure as the MCLMC runtime: chains vmapped and mesh-sharded, draws
+buffered on device, chunked host egress.
+"""
+from __future__ import annotations
+
+import logging
+import math
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mile_tpu.config.training import Sampler, SamplerConfig
+from mile_tpu.mcmc import hmc, nuts
+from mile_tpu.mcmc.adaptation.window import run_window_adaptation
+from mile_tpu.parallel.mesh import shard_chains
+from mile_tpu.train.sampling import SamplingResult, _drain
+
+logger = logging.getLogger(__name__)
+
+
+def run_hmc_family(
+    logdensity_fn: Callable,
+    cfg: SamplerConfig,
+    rng_key: jax.Array,
+    init_positions: jnp.ndarray,    # (n_chains, dim)
+    mesh=None,
+    max_chunk_bytes: int = 1 << 30,
+    sample_sink=None,
+) -> SamplingResult:
+    n_chains, dim = init_positions.shape
+    warmup_key, sample_key = jax.random.split(rng_key)
+
+    if cfg.name == Sampler.NUTS:
+        kernel = nuts.build_kernel(logdensity_fn)
+        chain_init = nuts.init
+    else:
+        kernel = hmc.build_kernel(
+            logdensity_fn, num_integration_steps=cfg.num_integration_steps)
+        chain_init = hmc.init
+
+    # ----------------------------------------------------------- warmup
+    logger.info('> starting %s window adaptation (%d chains, %d steps)...',
+                cfg.name, n_chains, cfg.warmup_steps)
+
+    def warmup_one(position, key):
+        state = chain_init(position, logdensity_fn)
+        return run_window_adaptation(
+            kernel, state, key, cfg.warmup_steps,
+            initial_step_size=cfg.step_size_init if cfg.step_size_init
+            else 1.0)
+
+    keys = jax.random.split(warmup_key, n_chains)
+    if mesh is not None:
+        init_positions = shard_chains(init_positions, mesh)
+        keys = shard_chains(keys, mesh)
+    states, step_size, inverse_mass_matrix = jax.block_until_ready(
+        jax.jit(jax.vmap(warmup_one))(init_positions, keys))
+    logger.info('> adaptation done: step_size=%s', np.asarray(step_size))
+
+    # --------------------------------------------------------- sampling
+    thin = cfg.n_thinning
+    n_kept = math.ceil(cfg.n_samples / thin)
+    bytes_per_kept = n_chains * dim * 4
+    chunk_kept = max(1, min(n_kept, max_chunk_bytes // max(bytes_per_kept, 1)))
+    n_chunks = math.ceil(n_kept / chunk_kept)
+
+    def chain_block(key, state, eps, imm, n_block):
+        def outer(state, key):
+            def inner(state, k):
+                state, info = kernel(k, state, eps, imm)
+                return state, info
+
+            state, infos = jax.lax.scan(inner, state,
+                                        jax.random.split(key, thin))
+            last = jax.tree.map(lambda x: x[-1], infos)
+            return state, (state.position, last)
+
+        state, (positions, infos) = jax.lax.scan(
+            outer, state, jax.random.split(key, n_block))
+        return state, positions, infos
+
+    block_fn = jax.jit(jax.vmap(chain_block, in_axes=(0, 0, 0, 0, None)),
+                       static_argnums=(4,))
+
+    chain_keys = jax.random.split(sample_key, n_chains)
+    if mesh is not None:
+        states = shard_chains(states, mesh)
+        chain_keys = shard_chains(chain_keys, mesh)
+
+    logger.info('> starting %s sampling: %d kept draws x %d chains...',
+                cfg.name, n_kept, n_chains)
+    host_chunks, info_chunks = [], []
+    state, kept_done, pending = states, 0, None
+    for chunk in range(n_chunks):
+        block = min(chunk_kept, n_kept - kept_done)
+        chain_keys = jax.vmap(jax.random.fold_in)(
+            chain_keys, jnp.full(n_chains, chunk, dtype=jnp.uint32))
+        state, positions, infos = block_fn(
+            chain_keys, state, step_size, inverse_mass_matrix, block)
+        if pending is not None:
+            _drain(pending, host_chunks, info_chunks, sample_sink)
+        pending = (positions, infos, kept_done)
+        kept_done += block
+    _drain(pending, host_chunks, info_chunks, sample_sink)
+    jax.block_until_ready(state)
+
+    samples = np.concatenate(host_chunks, axis=1)
+    infos = jax.tree.map(
+        lambda *xs: np.concatenate(xs, axis=1), *info_chunks)
+    tuned = {
+        'step_size': np.asarray(step_size),
+        'inverse_mass_matrix': np.asarray(inverse_mass_matrix),
+    }
+    info_dict = {k: np.asarray(v) for k, v in infos._asdict().items()}
+    logger.info('> %s sampling completed (mean acceptance %.3f).',
+                cfg.name, float(np.mean(info_dict['acceptance_rate'])))
+    return SamplingResult(samples, tuned, info_dict, state)

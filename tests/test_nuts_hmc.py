@@ -1,0 +1,109 @@
+"""NUTS / HMC correctness on analytic targets."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mile_tpu.config.training import Sampler, SamplerConfig
+from mile_tpu.mcmc import hmc, nuts
+from mile_tpu.mcmc.adaptation.window import build_schedule
+from mile_tpu.mcmc.nuts import _popcount, _trailing_zeros
+from mile_tpu.train.sampling_hmc import run_hmc_family
+
+
+def test_bit_helpers():
+    n = jnp.arange(1, 65)
+    pc = np.array([bin(i).count('1') for i in range(1, 65)])
+    tz = np.array([(i & -i).bit_length() - 1 for i in range(1, 65)])
+    np.testing.assert_array_equal(np.asarray(_popcount(n)), pc)
+    np.testing.assert_array_equal(np.asarray(_trailing_zeros(n)), tz)
+
+
+def test_schedule_structure():
+    s = build_schedule(1000)
+    assert len(s) == 1000
+    assert (s[:75] == 0).all()          # initial fast buffer
+    assert (s[-50:] == 0).all()         # final fast buffer
+    assert (s[75:-50] >= 1).all()       # slow windows
+    assert s[99] == 2                   # first 25-window ends at step 99
+    assert (s == 2).sum() >= 3          # several window boundaries
+    # tiny budget: all fast
+    assert (build_schedule(15) == 0).all()
+
+
+def test_hmc_standard_gaussian():
+    dim = 5
+    logdensity = lambda x: -0.5 * jnp.sum(x * x)
+    kernel = hmc.build_kernel(logdensity, num_integration_steps=16)
+    state = hmc.init(jnp.zeros(dim), logdensity)
+
+    def one(carry, key):
+        state = carry
+        state, info = kernel(key, state, jnp.asarray(0.25), jnp.ones(dim))
+        return state, (state.position, info.acceptance_rate)
+
+    keys = jax.random.split(jax.random.PRNGKey(0), 5000)
+    _, (xs, acc) = jax.lax.scan(one, state, keys)
+    assert float(acc.mean()) > 0.7
+    assert abs(float(xs[1000:].mean())) < 0.1
+    assert abs(float(xs[1000:].var()) - 1.0) < 0.15
+
+
+def test_nuts_correlated_gaussian_moments():
+    """NUTS with unit mass on a correlated 2d Gaussian."""
+    cov = jnp.array([[1.0, 0.8], [0.8, 1.0]])
+    prec = jnp.linalg.inv(cov)
+    logdensity = lambda x: -0.5 * x @ prec @ x
+    kernel = nuts.build_kernel(logdensity)
+    state = nuts.init(jnp.zeros(2), logdensity)
+
+    def one(state, key):
+        state, info = kernel(key, state, jnp.asarray(0.2), jnp.ones(2))
+        return state, (state.position, info)
+
+    keys = jax.random.split(jax.random.PRNGKey(1), 6000)
+    _, (xs, infos) = jax.lax.scan(one, state, keys)
+    samples = np.asarray(xs[1000:])
+    emp_cov = np.cov(samples.T)
+    np.testing.assert_allclose(emp_cov, np.asarray(cov), atol=0.15)
+    assert not np.any(np.asarray(infos.is_divergent))
+    # trees actually expand (multi-step trajectories)
+    assert float(np.mean(np.asarray(infos.num_integration_steps[1000:]))) > 3
+
+
+def test_nuts_uses_longer_trajectories_for_anisotropic():
+    """Narrow directions force small eps; U-turn criterion should produce
+    deeper trees than for the isotropic case."""
+    scales = jnp.array([1.0, 10.0])
+    logdensity = lambda x: -0.5 * jnp.sum((x / scales) ** 2)
+    kernel = nuts.build_kernel(logdensity)
+    state = nuts.init(jnp.array([0.5, 5.0]), logdensity)
+
+    def one(state, key):
+        state, info = kernel(key, state, jnp.asarray(0.5), jnp.ones(2))
+        return state, info.num_trajectory_expansions
+
+    keys = jax.random.split(jax.random.PRNGKey(2), 500)
+    _, depths = jax.lax.scan(one, state, keys)
+    assert float(depths.mean()) > 2.0
+
+
+@pytest.mark.parametrize('name', [Sampler.NUTS, Sampler.HMC])
+def test_window_adapted_runtime_gaussian(name):
+    dim = 8
+    scales = jnp.linspace(0.5, 2.0, dim)
+    logdensity = lambda x: -0.5 * jnp.sum((x / scales) ** 2)
+    n_samples = 2000 if name == Sampler.NUTS else 6000
+    cfg = SamplerConfig(name=name, warmup_steps=500, n_chains=2,
+                        n_samples=n_samples, n_thinning=2, step_size_init=0.5,
+                        num_integration_steps=16)
+    x0 = jax.random.normal(jax.random.PRNGKey(0), (2, dim)) * scales
+    res = run_hmc_family(logdensity, cfg, jax.random.PRNGKey(1), x0)
+    assert res.samples.shape == (2, n_samples // 2, dim)
+    acc = res.info['acceptance_rate']
+    assert 0.55 < float(np.nanmean(acc)) <= 1.0
+    var = res.samples[:, 200:].reshape(-1, dim).var(axis=0)
+    np.testing.assert_allclose(var, np.asarray(scales) ** 2, rtol=0.4)
+    # mass matrix learned the scale structure
+    imm = res.tuned['inverse_mass_matrix']
+    assert imm[:, -1].mean() / imm[:, 0].mean() > 4.0
