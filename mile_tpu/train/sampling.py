@@ -47,23 +47,46 @@ def _tuning_config(cfg: SamplerConfig) -> TuningConfig:
     )
 
 
+def _bind(logdensity_fn: Callable, aux):
+    """Close per-chain auxiliary data (e.g. partition-frozen coordinates)
+    into a single-argument density; identity when aux is None."""
+    if aux is None:
+        return logdensity_fn
+    return lambda theta: logdensity_fn(theta, aux)
+
+
 def warmup_mclmc(
     logdensity_fn: Callable,
     cfg: SamplerConfig,
     rng_key: jax.Array,
     positions: jnp.ndarray,  # (n_chains, dim)
     mesh=None,
+    chain_aux=None,
 ):
-    """Tune (ε, L, preconditioner) for every chain simultaneously."""
+    """Tune (ε, L, preconditioner) for every chain simultaneously.
+
+    ``chain_aux`` (optional, leading chain axis) is passed per-chain as the
+    second argument of ``logdensity_fn`` — used by partition sampling.
+    """
     tcfg = _tuning_config(cfg)
     n_chains = positions.shape[0]
     keys = jax.random.split(rng_key, n_chains)
     if mesh is not None:
         positions = shard_chains(positions, mesh)
         keys = shard_chains(keys, mesh)
+        if chain_aux is not None:
+            chain_aux = shard_chains(chain_aux, mesh)
 
-    tune = jax.jit(jax.vmap(lambda p, k: mclmc_tune(logdensity_fn, p, k, tcfg)))
-    states, params = jax.block_until_ready(tune(positions, keys))
+    if chain_aux is None:
+        tune = jax.jit(jax.vmap(
+            lambda p, k: mclmc_tune(logdensity_fn, p, k, tcfg)))
+        states, params = jax.block_until_ready(tune(positions, keys))
+    else:
+        tune = jax.jit(jax.vmap(
+            lambda p, k, aux: mclmc_tune(_bind(logdensity_fn, aux), p, k,
+                                         tcfg)))
+        states, params = jax.block_until_ready(
+            tune(positions, keys, chain_aux))
     return states, params
 
 
@@ -75,6 +98,7 @@ def run_mclmc(
     mesh=None,
     max_chunk_bytes: int = 1 << 30,
     sample_sink: Optional[Callable] = None,
+    chain_aux=None,
 ) -> SamplingResult:
     """Full MCLMC pipeline: warmup then ``n_samples`` kernel steps per
     chain, keeping every ``n_thinning``-th position.
@@ -89,11 +113,10 @@ def run_mclmc(
     logger.info('> starting MCLMC warmup (%d chains, %d steps)...',
                 n_chains, cfg.warmup_steps)
     states, params = warmup_mclmc(logdensity_fn, cfg, warmup_key,
-                                  init_positions, mesh)
+                                  init_positions, mesh, chain_aux)
     logger.info('> warmup done: step_size=%s L=%s',
                 np.asarray(params.step_size), np.asarray(params.L))
 
-    kernel = mclmc.build_kernel(logdensity_fn)
     thin = cfg.n_thinning
     n_kept = math.ceil(cfg.n_samples / thin)
 
@@ -102,8 +125,9 @@ def run_mclmc(
     chunk_kept = max(1, min(n_kept, max_chunk_bytes // max(bytes_per_kept, 1)))
     n_chunks = math.ceil(n_kept / chunk_kept)
 
-    def chain_block(key, state, L, step_size, sqrt_diag_cov, n_block):
+    def chain_block(key, state, L, step_size, sqrt_diag_cov, aux, n_block):
         """One chain: n_block kept draws (thin kernel steps each)."""
+        kernel = mclmc.build_kernel(_bind(logdensity_fn, aux))
 
         def outer(state, key):
             def inner(state, k):
@@ -118,13 +142,16 @@ def run_mclmc(
             outer, state, jax.random.split(key, n_block))
         return state, positions, de
 
+    aux_axis = None if chain_aux is None else 0
     block_fn = jax.jit(
-        jax.vmap(chain_block, in_axes=(0, 0, 0, 0, 0, None)),
-        static_argnums=(5,))
+        jax.vmap(chain_block, in_axes=(0, 0, 0, 0, 0, aux_axis, None)),
+        static_argnums=(6,))
 
     if mesh is not None:
         states = shard_chains(states, mesh)
         params = shard_chains(params, mesh)
+        if chain_aux is not None:
+            chain_aux = shard_chains(chain_aux, mesh)
 
     chain_keys = jax.random.split(sample_key, n_chains)
     if mesh is not None:
@@ -142,7 +169,7 @@ def run_mclmc(
             chain_keys, jnp.full(n_chains, chunk, dtype=jnp.uint32))
         state, positions, de = block_fn(
             chain_keys, state, params.L, params.step_size,
-            params.sqrt_diag_cov, block)
+            params.sqrt_diag_cov, chain_aux, block)
         if pending is not None:
             _drain(pending, host_chunks, energy_chunks, sample_sink)
         # (chains, block, dim) already chain-major

@@ -32,35 +32,43 @@ def run_hmc_family(
     mesh=None,
     max_chunk_bytes: int = 1 << 30,
     sample_sink=None,
+    chain_aux=None,
 ) -> SamplingResult:
+    from mile_tpu.train.sampling import _bind
+
     n_chains, dim = init_positions.shape
     warmup_key, sample_key = jax.random.split(rng_key)
 
-    if cfg.name == Sampler.NUTS:
-        kernel = nuts.build_kernel(logdensity_fn)
-        chain_init = nuts.init
-    else:
-        kernel = hmc.build_kernel(
-            logdensity_fn, num_integration_steps=cfg.num_integration_steps)
-        chain_init = hmc.init
+    def make_kernel(logdensity):
+        if cfg.name == Sampler.NUTS:
+            return nuts.build_kernel(logdensity)
+        return hmc.build_kernel(
+            logdensity, num_integration_steps=cfg.num_integration_steps)
+
+    chain_init = nuts.init if cfg.name == Sampler.NUTS else hmc.init
 
     # ----------------------------------------------------------- warmup
     logger.info('> starting %s window adaptation (%d chains, %d steps)...',
                 cfg.name, n_chains, cfg.warmup_steps)
 
-    def warmup_one(position, key):
-        state = chain_init(position, logdensity_fn)
+    def warmup_one(position, key, aux):
+        logdensity = _bind(logdensity_fn, aux)
+        state = chain_init(position, logdensity)
         return run_window_adaptation(
-            kernel, state, key, cfg.warmup_steps,
+            make_kernel(logdensity), state, key, cfg.warmup_steps,
             initial_step_size=cfg.step_size_init if cfg.step_size_init
             else 1.0)
 
+    aux_axis = None if chain_aux is None else 0
     keys = jax.random.split(warmup_key, n_chains)
     if mesh is not None:
         init_positions = shard_chains(init_positions, mesh)
         keys = shard_chains(keys, mesh)
+        if chain_aux is not None:
+            chain_aux = shard_chains(chain_aux, mesh)
     states, step_size, inverse_mass_matrix = jax.block_until_ready(
-        jax.jit(jax.vmap(warmup_one))(init_positions, keys))
+        jax.jit(jax.vmap(warmup_one, in_axes=(0, 0, aux_axis)))(
+            init_positions, keys, chain_aux))
     logger.info('> adaptation done: step_size=%s', np.asarray(step_size))
 
     # --------------------------------------------------------- sampling
@@ -70,7 +78,9 @@ def run_hmc_family(
     chunk_kept = max(1, min(n_kept, max_chunk_bytes // max(bytes_per_kept, 1)))
     n_chunks = math.ceil(n_kept / chunk_kept)
 
-    def chain_block(key, state, eps, imm, n_block):
+    def chain_block(key, state, eps, imm, aux, n_block):
+        kernel = make_kernel(_bind(logdensity_fn, aux))
+
         def outer(state, key):
             def inner(state, k):
                 state, info = kernel(k, state, eps, imm)
@@ -85,8 +95,9 @@ def run_hmc_family(
             outer, state, jax.random.split(key, n_block))
         return state, positions, infos
 
-    block_fn = jax.jit(jax.vmap(chain_block, in_axes=(0, 0, 0, 0, None)),
-                       static_argnums=(4,))
+    block_fn = jax.jit(
+        jax.vmap(chain_block, in_axes=(0, 0, 0, 0, aux_axis, None)),
+        static_argnums=(5,))
 
     chain_keys = jax.random.split(sample_key, n_chains)
     if mesh is not None:
@@ -102,7 +113,8 @@ def run_hmc_family(
         chain_keys = jax.vmap(jax.random.fold_in)(
             chain_keys, jnp.full(n_chains, chunk, dtype=jnp.uint32))
         state, positions, infos = block_fn(
-            chain_keys, state, step_size, inverse_mass_matrix, block)
+            chain_keys, state, step_size, inverse_mass_matrix, chain_aux,
+            block)
         if pending is not None:
             _drain(pending, host_chunks, info_chunks, sample_sink)
         pending = (positions, infos, kept_done)

@@ -109,11 +109,24 @@ class BDETrainer:
         x, y = self.loader.arrays('train')
         logdensity = self.bayes.logdensity_fn(x, y)
         positions = jax.vmap(self.bayes.flatten)(member_params)
+        scfg = self.config.training.sampler
 
         with measure_time('time.sampling'):
-            result = run_sampler(
-                logdensity, self.config.training.sampler, self._key_sample,
-                positions, self.mesh)
+            if scfg.partition_sampling:
+                from mile_tpu.bayes import partition as part
+
+                mask = part.partition_mask(self._template, self.bayes.dim)
+                logger.info('partition sampling: %d of %d coords sampled',
+                            int(mask.sum()), self.bayes.dim)
+                result = run_sampler(
+                    part.make_partitioned_logdensity(logdensity, mask),
+                    scfg, self._key_sample, part.split(positions, mask),
+                    self.mesh, chain_aux=positions)
+                result = result._replace(samples=part.merge(
+                    np.asarray(positions), result.samples, mask))
+            else:
+                result = run_sampler(
+                    logdensity, scfg, self._key_sample, positions, self.mesh)
 
         ckpt.save_samples(self.samples_dir, result.samples)
         ckpt.save_treedef(self.samples_dir, jax.tree.structure(self._template))

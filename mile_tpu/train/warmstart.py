@@ -121,6 +121,12 @@ def train_ensemble(
     tx = config.optimizer_config.build()
 
     x_train, _ = loader.arrays('train')
+    if config.partition_warmstart:
+        # train only input/output layers (reference trainer.py:890-901)
+        from mile_tpu.bayes.partition import partition_optimizer
+
+        template = module.init(rng, x_train[:1])['params']
+        tx = partition_optimizer(tx, template)
     state = init_ensemble(module, x_train[:1], n_members, rng, tx, mesh)
 
     def member_step(params, opt_state, stop, x, y):
