@@ -1,0 +1,167 @@
+"""Sample/diagnostic plots.
+
+Reference: /root/reference/src/visualization/samples.py:18-318. Same plot
+surface (trace plots, histograms, PCA projections, per-layer ESS/R-hat/
+variance boxplots, warmstart curves, running LPPD); figures are returned
+so callers can save or embed them.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+
+import matplotlib
+
+matplotlib.use('Agg')
+import matplotlib.pyplot as plt  # noqa: E402
+
+from mile_tpu.inference import metrics as M  # noqa: E402
+
+
+def _chains_first(samples: np.ndarray) -> np.ndarray:
+    samples = np.asarray(samples)
+    if samples.ndim == 2:
+        samples = samples[None]
+    return samples
+
+
+def plot_param_movement(samples: np.ndarray, param_ids: Sequence[int] = (0, 1, 2),
+                        ax=None):
+    """Trace plot: per-chain trajectories of selected parameters."""
+    samples = _chains_first(samples)
+    if ax is None:
+        _, ax = plt.subplots(figsize=(8, 4))
+    for p in param_ids:
+        for c in range(samples.shape[0]):
+            ax.plot(samples[c, :, p], alpha=0.6, lw=0.8,
+                    label=f'chain{c}/θ{p}' if c == 0 else None)
+    ax.set_xlabel('draw')
+    ax.set_ylabel('value')
+    ax.legend(fontsize=7)
+    return ax.figure
+
+
+def plot_param_hist(samples: np.ndarray, param_ids: Sequence[int] = (0, 1, 2),
+                    bins: int = 40):
+    """Pooled posterior histograms of selected parameters."""
+    samples = _chains_first(samples)
+    fig, axes = plt.subplots(1, len(param_ids),
+                             figsize=(3 * len(param_ids), 3))
+    axes = np.atleast_1d(axes)
+    for ax, p in zip(axes, param_ids):
+        ax.hist(samples[:, :, p].ravel(), bins=bins, density=True)
+        ax.set_title(f'θ{p}')
+    fig.tight_layout()
+    return fig
+
+
+def plot_pca(samples: np.ndarray, n_components: int = 2):
+    """PCA projection of draws, colored by chain (2d or 3d)."""
+    samples = _chains_first(samples)
+    c, s, d = samples.shape
+    flat = samples.reshape(c * s, d)
+    centered = flat - flat.mean(axis=0)
+    # SVD-based PCA (no sklearn dependency in the hot path)
+    _, _, vt = np.linalg.svd(centered, full_matrices=False)
+    proj = centered @ vt[:n_components].T
+    proj = proj.reshape(c, s, n_components)
+    fig = plt.figure(figsize=(5, 4))
+    if n_components == 3:
+        ax = fig.add_subplot(projection='3d')
+        for ci in range(c):
+            ax.scatter(*proj[ci].T, s=2, alpha=0.5, label=f'chain {ci}')
+    else:
+        ax = fig.add_subplot()
+        for ci in range(c):
+            ax.scatter(proj[ci, :, 0], proj[ci, :, 1], s=2, alpha=0.5,
+                       label=f'chain {ci}')
+    ax.legend(fontsize=7)
+    ax.set_title('sample PCA')
+    return fig
+
+
+def _per_layer_box(values_by_layer: dict, ylabel: str, hline: Optional[float]
+                   ) -> plt.Figure:
+    fig, ax = plt.subplots(figsize=(max(4, 1.2 * len(values_by_layer)), 3.5))
+    ax.boxplot(list(values_by_layer.values()),
+               tick_labels=list(values_by_layer.keys()))
+    if hline is not None:
+        ax.axhline(hline, color='r', ls='--', lw=1)
+    ax.set_ylabel(ylabel)
+    plt.setp(ax.get_xticklabels(), rotation=30, ha='right', fontsize=7)
+    fig.tight_layout()
+    return fig
+
+
+def _layer_values(samples: np.ndarray, layer_slices: Optional[dict],
+                  fn) -> dict:
+    samples = _chains_first(samples)
+    if layer_slices is None:
+        return {'all': np.asarray(fn(samples)).ravel()}
+    return {name: np.asarray(fn(samples[:, :, sl])).ravel()
+            for name, sl in layer_slices.items()}
+
+
+def plot_effective_sample_size(samples, layer_slices: Optional[dict] = None):
+    return _per_layer_box(
+        _layer_values(samples, layer_slices,
+                      lambda x: M.pooled_effective_sample_size(
+                          np.asarray(x))),
+        'effective sample size', None)
+
+
+def plot_split_chain_r_hat(samples, layer_slices: Optional[dict] = None,
+                           n_splits: int = 4):
+    return _per_layer_box(
+        _layer_values(samples, layer_slices,
+                      lambda x: M.gelman_split_r_hat(
+                          np.asarray(x), n_splits)),
+        'split R-hat', 1.0)
+
+
+def plot_variances(samples, layer_slices: Optional[dict] = None):
+    """Between- vs within-chain variance per layer."""
+    bcv = _layer_values(samples, layer_slices,
+                        lambda x: M.between_chain_var(np.asarray(x)))
+    wcv = _layer_values(samples, layer_slices,
+                        lambda x: M.within_chain_var(np.asarray(x)))
+    fig, axes = plt.subplots(1, 2, figsize=(10, 3.5))
+    for ax, (vals, title) in zip(
+            axes, [(bcv, 'between-chain var'), (wcv, 'within-chain var')]):
+        ax.boxplot(list(vals.values()), tick_labels=list(vals.keys()))
+        ax.set_ylabel(title)
+        plt.setp(ax.get_xticklabels(), rotation=30, ha='right', fontsize=7)
+    fig.tight_layout()
+    return fig
+
+
+def plot_lppd(lppd_pointwise: np.ndarray):
+    """Running LPPD over draws (pooled over chains)."""
+    running = np.asarray(M.running_lppd(np.asarray(lppd_pointwise)))
+    fig, ax = plt.subplots(figsize=(6, 3.5))
+    ax.plot(running)
+    ax.set_xlabel('draw')
+    ax.set_ylabel('running LPPD')
+    fig.tight_layout()
+    return fig
+
+
+def plot_warmstart_results(store, keys: Sequence[str] = None):
+    """Collage of warmstart training curves per metric (train/valid)."""
+    keys = keys or [k for k in store.train.__dict__ if k != 'step']
+    fig, axes = plt.subplots(len(keys), 2,
+                             figsize=(9, 3 * len(keys)), squeeze=False)
+    for row, key in enumerate(keys):
+        for col, split in enumerate(('train', 'valid')):
+            metric = getattr(store, split)
+            ax = axes[row][col]
+            if metric.is_empty:
+                continue
+            vals = np.asarray(getattr(metric, key))
+            for c in range(vals.shape[0]):
+                ax.plot(vals[c], alpha=0.7, lw=0.9)
+            ax.set_title(f'{split} {key}', fontsize=9)
+            ax.set_xlabel('epoch')
+    fig.tight_layout()
+    return fig
