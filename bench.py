@@ -66,8 +66,8 @@ def main() -> None:
     positions = jax.vmap(
         lambda k: 0.1 * jax.random.normal(k, (bayes.dim,)))(keys)
 
-    states, params = warmup_mclmc(logdensity, cfg, jax.random.PRNGKey(3),
-                                  positions)
+    states, params, _ = warmup_mclmc(logdensity, cfg, jax.random.PRNGKey(3),
+                                     positions)
 
     kernel = mclmc.build_kernel(logdensity)
 

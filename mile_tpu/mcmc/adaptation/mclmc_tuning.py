@@ -54,6 +54,7 @@ class TuningConfig(NamedTuple):
     integrator: str = 'mclachlan'
     ess_params_limit: int = 2000   # coordinate subsample cap for phase-3 FFT
     ess_samples_limit: int = 10000  # trace-length cap for phase-3 FFT
+    trace_every: int = 0  # keep every Nth phase-1/2 position (0 = none)
 
 
 def _energy_var_schedule(cfg: TuningConfig, total_steps: int):
@@ -188,6 +189,8 @@ def mclmc_tune(
     one_step = _make_phase12_step(kernel, dim, cfg, t1 + t2 + 1)
 
     def run_steps(state, params, in_phase2, keys, start_step):
+        """One flat scan; optionally traced with a two-level scan that
+        keeps every ``cfg.trace_every``-th position (keep_warmup)."""
         init = _AdaptState(
             state=state, params=params,
             time=jnp.asarray(0.0), x_avg=jnp.asarray(0.0),
@@ -196,13 +199,29 @@ def mclmc_tune(
             stream_mean=jnp.zeros((2, dim)),
         )
         steps = jnp.arange(len(keys)) + start_step
-        out, _ = jax.lax.scan(one_step, init, (in_phase2, steps, keys))
-        return out
+        if not cfg.trace_every:
+            out, _ = jax.lax.scan(one_step, init, (in_phase2, steps, keys))
+            return out, None
+        thin = cfg.trace_every
+        n = (len(keys) // thin) * thin
+        blk = lambda a: a[:n].reshape(n // thin, thin, *a.shape[1:])
+
+        def outer(carry, xs):
+            carry, _ = jax.lax.scan(one_step, carry, xs)
+            return carry, carry.state.position
+
+        out, trace = jax.lax.scan(
+            outer, init, (blk(in_phase2), blk(steps), blk(keys)))
+        # tail steps that don't fill a block
+        if n < len(keys):
+            out, _ = jax.lax.scan(
+                one_step, out, (in_phase2[n:], steps[n:], keys[n:]))
+        return out, trace
 
     # ---- phases 1+2: joint ε adaptation + streaming variance for L
     keys12 = jax.random.split(run_key, t1 + t2)
     in_phase2 = jnp.concatenate([jnp.zeros(t1), jnp.ones(t2)])
-    out = run_steps(state, params, in_phase2, keys12, 0)
+    out, warmup_trace = run_steps(state, params, in_phase2, keys12, 0)
     state, params = out.state, out.params
 
     if t2 > 0:
@@ -217,7 +236,8 @@ def mclmc_tune(
             readjust = t2 // 3
             if readjust > 0:
                 keys_r = jax.random.split(adjust_key, readjust)
-                out = run_steps(state, params, jnp.ones(readjust), keys_r, 0)
+                out, _ = run_steps(state, params, jnp.ones(readjust),
+                                   keys_r, 0)
                 state, params = out.state, out.params
         else:
             params = params._replace(L=jnp.sqrt(jnp.sum(variances)))
@@ -227,4 +247,6 @@ def mclmc_tune(
         state, params = _phase3_refine_L(
             kernel, cfg, state, params, t3, phase3_key)
 
+    if cfg.trace_every:
+        return state, params, warmup_trace
     return state, params

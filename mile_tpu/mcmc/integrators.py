@@ -130,6 +130,44 @@ def isokinetic_leapfrog(logdensity_fn):
     return isokinetic_integrator(logdensity_fn, ())
 
 
+def isokinetic_integrator_pallas(
+    logdensity_fn: Callable,
+    coefficients: tuple[float, ...] = (MCLACHLAN_B1,),
+) -> Callable:
+    """Same scheme as :func:`isokinetic_integrator`, with the momentum
+    rotations executed by the fused Pallas kernel
+    (:mod:`mile_tpu.ops.isokinetic`). TPU-only."""
+    from mile_tpu.ops.isokinetic import fused_momentum_update
+
+    if coefficients == ():
+        v_fracs = [0.5, 0.5]
+        x_fracs = [1.0]
+    else:
+        (b1,) = coefficients
+        v_fracs = [b1, 1.0 - 2.0 * b1, b1]
+        x_fracs = [0.5, 0.5]
+
+    def step(state: IntegratorState, step_size: jnp.ndarray,
+             sqrt_diag_cov: jnp.ndarray | float = 1.0):
+        kinetic = 0.0
+        u, dk = fused_momentum_update(
+            state.momentum, state.logdensity_grad, v_fracs[0] * step_size,
+            sqrt_diag_cov)
+        kinetic += dk
+        state = state._replace(momentum=u)
+        for xf, vf in zip(x_fracs, v_fracs[1:]):
+            state = _position_update(
+                logdensity_fn, state, xf * step_size, sqrt_diag_cov)
+            u, dk = fused_momentum_update(
+                state.momentum, state.logdensity_grad, vf * step_size,
+                sqrt_diag_cov)
+            kinetic += dk
+            state = state._replace(momentum=u)
+        return state, kinetic
+
+    return step
+
+
 def partially_refresh_momentum(
     momentum: jnp.ndarray,
     rng_key: jax.Array,

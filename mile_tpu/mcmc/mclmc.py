@@ -56,8 +56,14 @@ def build_kernel(
     values and may be per-chain under vmap, so independently tuned chains
     run in one program (the reference gets per-chain params via pmap).
     """
-    make = isokinetic_mclachlan if integrator == 'mclachlan' else isokinetic_leapfrog
-    integrator_step = make(logdensity_fn)
+    if integrator == 'mclachlan_pallas':
+        from mile_tpu.mcmc.integrators import isokinetic_integrator_pallas
+
+        integrator_step = isokinetic_integrator_pallas(logdensity_fn)
+    else:
+        make = (isokinetic_mclachlan if integrator == 'mclachlan'
+                else isokinetic_leapfrog)
+        integrator_step = make(logdensity_fn)
 
     def step(rng_key, state: MCLMCState, L, step_size,
              sqrt_diag_cov: jnp.ndarray | float = 1.0):

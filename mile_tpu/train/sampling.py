@@ -35,6 +35,9 @@ class SamplingResult(NamedTuple):
     final_state: object
 
 
+MAX_KEPT_WARMUP = 1000  # cap on stored warmup positions per chain
+
+
 def _tuning_config(cfg: SamplerConfig) -> TuningConfig:
     return TuningConfig(
         warmup_steps=cfg.warmup_steps,
@@ -44,6 +47,8 @@ def _tuning_config(cfg: SamplerConfig) -> TuningConfig:
         trust_in_estimate=cfg.trust_in_estimate,
         num_effective_samples=cfg.num_effective_samples,
         diagonal_preconditioning=cfg.diagonal_preconditioning,
+        trace_every=(max(1, cfg.warmup_steps // MAX_KEPT_WARMUP)
+                     if cfg.keep_warmup else 0),
     )
 
 
@@ -80,14 +85,17 @@ def warmup_mclmc(
     if chain_aux is None:
         tune = jax.jit(jax.vmap(
             lambda p, k: mclmc_tune(logdensity_fn, p, k, tcfg)))
-        states, params = jax.block_until_ready(tune(positions, keys))
+        out = jax.block_until_ready(tune(positions, keys))
     else:
         tune = jax.jit(jax.vmap(
             lambda p, k, aux: mclmc_tune(_bind(logdensity_fn, aux), p, k,
                                          tcfg)))
-        states, params = jax.block_until_ready(
-            tune(positions, keys, chain_aux))
-    return states, params
+        out = jax.block_until_ready(tune(positions, keys, chain_aux))
+    if tcfg.trace_every:
+        states, params, trace = out
+        return states, params, trace
+    states, params = out
+    return states, params, None
 
 
 def run_mclmc(
@@ -112,8 +120,8 @@ def run_mclmc(
 
     logger.info('> starting MCLMC warmup (%d chains, %d steps)...',
                 n_chains, cfg.warmup_steps)
-    states, params = warmup_mclmc(logdensity_fn, cfg, warmup_key,
-                                  init_positions, mesh, chain_aux)
+    states, params, warmup_trace = warmup_mclmc(
+        logdensity_fn, cfg, warmup_key, init_positions, mesh, chain_aux)
     logger.info('> warmup done: step_size=%s L=%s',
                 np.asarray(params.step_size), np.asarray(params.L))
 
@@ -186,6 +194,9 @@ def run_mclmc(
         'sqrt_diag_cov': np.asarray(params.sqrt_diag_cov),
     }
     info = {'energy_change': energy}
+    if warmup_trace is not None:
+        # (chains, kept_warmup, dim) thinned adaptation trajectory
+        info['warmup_trace'] = np.asarray(jax.device_get(warmup_trace))
     logger.info('> MCLMC sampling completed.')
     return SamplingResult(samples, tuned, info, state)
 

@@ -111,6 +111,16 @@ class BDETrainer:
         positions = jax.vmap(self.bayes.flatten)(member_params)
         scfg = self.config.training.sampler
 
+        sink = None
+        if scfg.stream_samples:
+            # reference-parity per-draw layout: samples/{chain}/sample_{n}.npz
+            def sink(chunk, start):
+                for c in range(chunk.shape[0]):
+                    for j in range(chunk.shape[1]):
+                        ckpt.save_samples_streaming(
+                            self.samples_dir, c, start + j,
+                            self.bayes.unravel(jnp.asarray(chunk[c, j])))
+
         with measure_time('time.sampling'):
             if scfg.partition_sampling:
                 from mile_tpu.bayes import partition as part
@@ -121,15 +131,19 @@ class BDETrainer:
                 result = run_sampler(
                     part.make_partitioned_logdensity(logdensity, mask),
                     scfg, self._key_sample, part.split(positions, mask),
-                    self.mesh, chain_aux=positions)
+                    self.mesh, chain_aux=positions, sample_sink=sink)
                 result = result._replace(samples=part.merge(
                     np.asarray(positions), result.samples, mask))
             else:
                 result = run_sampler(
-                    logdensity, scfg, self._key_sample, positions, self.mesh)
+                    logdensity, scfg, self._key_sample, positions, self.mesh,
+                    sample_sink=sink)
 
         ckpt.save_samples(self.samples_dir, result.samples)
         ckpt.save_treedef(self.samples_dir, jax.tree.structure(self._template))
+        if 'warmup_trace' in result.info:
+            ckpt.save_samples(self.exp_dir / 'warmup_samples',
+                              result.info.pop('warmup_trace'))
         if self.config.training.sampler.name == Sampler.MCLMC:
             ckpt.save_warmup_params(
                 self.exp_dir / 'warmup_params.txt',
