@@ -97,13 +97,27 @@ def save_samples_streaming(path: str | Path, chain_id: int, draw_id: int,
 
 
 def load_flat_samples(path: str | Path) -> np.ndarray:
-    """Load all chains' flat samples -> (n_chains, n_kept, dim)."""
+    """Load all chains' flat samples -> (n_chains, n_kept, dim).
+
+    Understands both layouts: ``samples.npy`` (checkpoint writer) and
+    ``samples.bin`` + ``samples.meta`` (native async sink).
+    """
+    import json
+
     path = Path(path)
     chains = sorted(path.glob('chain_*'),
                     key=lambda p: int(p.name.split('_')[1]))
     if not chains:
         raise FileNotFoundError(f'no chain_* dirs under {path}')
-    return np.stack([np.load(c / 'samples.npy') for c in chains])
+
+    def load_chain(c: Path) -> np.ndarray:
+        if (c / 'samples.npy').exists():
+            return np.load(c / 'samples.npy')
+        meta = json.loads((c / 'samples.meta').read_text())
+        raw = np.fromfile(c / 'samples.bin', dtype=meta['dtype'])
+        return raw.reshape(-1, meta['dim'])
+
+    return np.stack([load_chain(c) for c in chains])
 
 
 def save_warmup_params(path: str | Path, step_size, L) -> None:
