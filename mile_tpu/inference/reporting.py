@@ -101,6 +101,20 @@ def _fmt(v) -> str:
     return str(v)
 
 
+def _embed_figure(fig) -> str:
+    """Matplotlib figure -> inline <img> (base64 PNG)."""
+    import base64
+    import io
+
+    buf = io.BytesIO()
+    fig.savefig(buf, format='png', dpi=90, bbox_inches='tight')
+    import matplotlib.pyplot as plt
+
+    plt.close(fig)
+    data = base64.b64encode(buf.getvalue()).decode()
+    return f'<img src="data:image/png;base64,{data}"/>'
+
+
 def generate_report(exp_dir: str | Path, config=None) -> Path:
     """Assemble report.html + diagnostics.csv from run artifacts."""
     exp_dir = Path(exp_dir)
@@ -140,6 +154,22 @@ def generate_report(exp_dir: str | Path, config=None) -> Path:
                      _table({k: f"ESS={v['ess']:.1f} R-hat={v['split_rhat']:.3f} "
                                 f"BCV={v['bcv']:.4g} WCV={v['wcv']:.4g}"
                              for k, v in diag.items()})]
+        try:
+            from mile_tpu import viz
+
+            slices = (layer_slices(template) if template is not None
+                      else None)
+            sections += [
+                '<h2>Plots</h2>',
+                _embed_figure(viz.plot_param_movement(samples)),
+                _embed_figure(viz.plot_pca(samples)),
+                _embed_figure(viz.plot_effective_sample_size(
+                    samples, slices)),
+                _embed_figure(viz.plot_split_chain_r_hat(samples, slices)),
+                _embed_figure(viz.plot_variances(samples, slices)),
+            ]
+        except Exception:  # plots must never break the report
+            logger.exception('plot rendering failed')
     except FileNotFoundError:
         logger.info('no samples found; skipping diagnostics section')
 

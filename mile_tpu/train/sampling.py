@@ -220,6 +220,14 @@ def run_sampler(
     **kwargs,
 ) -> SamplingResult:
     """Dispatch on the configured sampling algorithm."""
+    if cfg.epoch_wise_sampling:
+        # mini-batch (epoch-wise) sampling is reserved, as in the
+        # reference (src/training/trainer.py:592 NotImplementedError)
+        from mile_tpu.exceptions import SamplerNotImplementedError
+
+        raise SamplerNotImplementedError(
+            'epoch_wise (mini-batch) sampling is not supported; '
+            'the posterior is full-batch by design')
     if cfg.name == Sampler.MCLMC:
         return run_mclmc(logdensity_fn, cfg, rng_key, init_positions, mesh,
                          **kwargs)
