@@ -48,32 +48,60 @@ def layer_slices(template_params) -> dict:
     return out
 
 
+def per_param_diagnostics(samples: np.ndarray,
+                          max_params: int = 4096) -> tuple[dict, np.ndarray]:
+    """ONE jitted pass of all per-parameter diagnostics over the flat
+    sample matrix (subsampled to ``max_params`` coordinates).
+
+    Returns ({'ess': (p,), 'bcv': (p,), 'wcv': (p,), 'split_rhat': (p,)},
+    coordinate indices). Per-layer summaries slice these — no per-layer
+    recomputation.
+    """
+    x = jnp.asarray(samples)
+    n = x.shape[1] - (x.shape[1] % 4) if x.shape[1] >= 8 else x.shape[1]
+    x = x[:, :n]
+    dim = x.shape[-1]
+    if dim > max_params:
+        coords = np.linspace(0, dim - 1, max_params).astype(int)
+        x = x[..., coords]
+    else:
+        coords = np.arange(dim)
+
+    @jax.jit
+    def compute(x):
+        out = {
+            'ess': M.pooled_effective_sample_size(x),
+            'bcv': M.between_chain_var(x),
+            'wcv': M.within_chain_var(x),
+        }
+        out['split_rhat'] = (M.gelman_split_r_hat(x, n_splits=4)
+                             if n >= 8 else jnp.full(x.shape[-1], jnp.nan))
+        return out
+
+    vals = {k: np.asarray(v) for k, v in compute(x).items()}
+    return vals, coords
+
+
 def compute_diagnostics(samples: np.ndarray, template_params=None,
-                        max_params_per_layer: int = 512) -> dict:
+                        per_param=None) -> dict:
     """Per-layer mean ESS / R-hat / between- and within-chain variance.
 
     ``samples``: (n_chains, n_kept, dim) flat samples.
     """
-    x = jnp.asarray(samples)
+    if per_param is None:
+        per_param = per_param_diagnostics(samples)
+    vals, coords = per_param
     slices = (layer_slices(template_params) if template_params is not None
               else {'all': slice(None)})
-    n = x.shape[1] - (x.shape[1] % 4) if x.shape[1] >= 8 else x.shape[1]
     rows = {}
     for name, sl in slices.items():
-        block = x[:, :n, sl]
-        if block.shape[-1] > max_params_per_layer:
-            idx = np.linspace(0, block.shape[-1] - 1,
-                              max_params_per_layer).astype(int)
-            block = block[..., idx]
-        ess = M.effective_sample_size(block)
-        rows[name] = {
-            'ess': float(jnp.nanmean(ess)),
-            'bcv': float(jnp.nanmean(M.between_chain_var(block))),
-            'wcv': float(jnp.nanmean(M.within_chain_var(block))),
-            'split_rhat': float(jnp.nanmean(
-                M.gelman_split_r_hat(block, n_splits=4)))
-            if n >= 8 else float('nan'),
-        }
+        in_layer = ((coords >= (sl.start or 0))
+                    & (coords < (sl.stop if sl.stop is not None
+                                 else coords.max() + 1)))
+        if not in_layer.any():
+            continue
+        rows[name] = {k: float(np.nanmean(v[in_layer]))
+                      for k, v in vals.items()}
     return rows
 
 
@@ -148,7 +176,8 @@ def generate_report(exp_dir: str | Path, config=None) -> Path:
             module = config.get_model()
             x, _ = loader.arrays('train')
             template = module.init(jr.PRNGKey(0), x[:1])['params']
-        diag = compute_diagnostics(samples, template)
+        per_param = per_param_diagnostics(samples)
+        diag = compute_diagnostics(samples, template, per_param)
         write_diagnostics_csv(exp_dir / 'diagnostics.csv', diag)
         sections += ['<h2>Chain diagnostics (per layer)</h2>',
                      _table({k: f"ESS={v['ess']:.1f} R-hat={v['split_rhat']:.3f} "
@@ -156,17 +185,31 @@ def generate_report(exp_dir: str | Path, config=None) -> Path:
                              for k, v in diag.items()})]
         try:
             from mile_tpu import viz
+            from mile_tpu.viz.samples import plot_per_layer_box
 
+            vals, coords = per_param
             slices = (layer_slices(template) if template is not None
-                      else None)
+                      else {'all': slice(None)})
+
+            def by_layer(key):
+                return {name: vals[key][
+                    ((coords >= (sl.start or 0))
+                     & (coords < (sl.stop if sl.stop is not None
+                                  else coords.max() + 1)))]
+                    for name, sl in slices.items()}
+
             sections += [
                 '<h2>Plots</h2>',
                 _embed_figure(viz.plot_param_movement(samples)),
                 _embed_figure(viz.plot_pca(samples)),
-                _embed_figure(viz.plot_effective_sample_size(
-                    samples, slices)),
-                _embed_figure(viz.plot_split_chain_r_hat(samples, slices)),
-                _embed_figure(viz.plot_variances(samples, slices)),
+                _embed_figure(plot_per_layer_box(
+                    by_layer('ess'), 'effective sample size', None)),
+                _embed_figure(plot_per_layer_box(
+                    by_layer('split_rhat'), 'split R-hat', 1.0)),
+                _embed_figure(plot_per_layer_box(
+                    by_layer('bcv'), 'between-chain var', None)),
+                _embed_figure(plot_per_layer_box(
+                    by_layer('wcv'), 'within-chain var', None)),
             ]
         except Exception:  # plots must never break the report
             logger.exception('plot rendering failed')

@@ -81,6 +81,12 @@ def plot_pca(samples: np.ndarray, n_components: int = 2):
     return fig
 
 
+def plot_per_layer_box(values_by_layer: dict, ylabel: str,
+                       hline: Optional[float] = None) -> plt.Figure:
+    """Boxplot of precomputed per-parameter values grouped by layer."""
+    return _per_layer_box(values_by_layer, ylabel, hline)
+
+
 def _per_layer_box(values_by_layer: dict, ylabel: str, hline: Optional[float]
                    ) -> plt.Figure:
     fig, ax = plt.subplots(figsize=(max(4, 1.2 * len(values_by_layer)), 3.5))
