@@ -50,6 +50,23 @@ def partition_mask(template_params, dim: int) -> np.ndarray:
     return mask
 
 
+def frozen_mask(template_params, dim: int,
+                frozen_names: 'list[str]') -> np.ndarray:
+    """True = sampled; layer groups whose name contains any entry of
+    ``frozen_names`` are frozen (SamplerConfig.params_frozen)."""
+    mask = np.ones(dim, dtype=bool)
+    matched = False
+    for name, start, end in layer_groups(template_params):
+        if any(f in name for f in frozen_names):
+            mask[start:end] = False
+            matched = True
+    if not matched:
+        raise ValueError(
+            f'params_frozen {frozen_names} matched no layer; layers: '
+            f'{[g[0] for g in layer_groups(template_params)]}')
+    return mask
+
+
 def partition_labels(template_params) -> dict:
     """Label tree for ``optax.multi_transform``: first/last layer group ->
     'input_output_layers', everything else -> 'hidden_layers'

@@ -154,12 +154,31 @@ def generate_report(exp_dir: str | Path, config=None) -> Path:
         with open(mfile, 'rb') as f:
             metrics = pickle.load(f)
 
+    running = metrics.pop('running_lppd', None)
     sections = [
         '<h1>MILE-TPU experiment report</h1>',
         f'<p>experiment dir: {html.escape(str(exp_dir))}</p>',
         '<h2>Wall times</h2>', _table(times),
         '<h2>Metrics</h2>', _table(metrics),
     ]
+    if running is not None:
+        try:
+            import matplotlib.pyplot as plt
+
+            fig, ax = plt.subplots(figsize=(6, 3))
+            ax.plot(np.asarray(running))
+            ax.set_xlabel('draw')
+            ax.set_ylabel('running LPPD')
+            sections += ['<h2>Running LPPD</h2>', _embed_figure(fig)]
+        except Exception:
+            logger.exception('running LPPD plot failed')
+    ws_png = exp_dir / 'warmstart' / 'warmstart_curves.png'
+    if ws_png.exists():
+        import base64
+
+        data = base64.b64encode(ws_png.read_bytes()).decode()
+        sections += ['<h2>Warmstart curves</h2>',
+                     f'<img src="data:image/png;base64,{data}"/>']
 
     try:
         samples = ckpt.load_flat_samples(exp_dir / 'samples')

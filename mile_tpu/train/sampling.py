@@ -169,6 +169,14 @@ def run_mclmc(
                 '(%d chunks)...', n_kept, n_chains, n_chunks)
     host_chunks, energy_chunks = [], []
     state = states
+    if not cfg.use_warmup_as_init:
+        # restart chains at the original (warmstart) weights, keeping the
+        # tuned hyperparameters (config flag parity: sampler.py:131-136)
+        reinit = jax.jit(jax.vmap(
+            lambda p, k, aux: mclmc.init(p, _bind(logdensity_fn, aux), k),
+            in_axes=(0, 0, aux_axis)))
+        state = reinit(init_positions, chain_keys, chain_aux)
+
     kept_done = 0
     pending = None  # overlap device compute with host transfer
     for chunk in range(n_chunks):

@@ -104,6 +104,12 @@ def run_hmc_family(
         states = shard_chains(states, mesh)
         chain_keys = shard_chains(chain_keys, mesh)
 
+    if not cfg.use_warmup_as_init:
+        # restart at the original weights with tuned (ε, M⁻¹)
+        states = jax.jit(jax.vmap(
+            lambda p, aux: chain_init(p, _bind(logdensity_fn, aux)),
+            in_axes=(0, aux_axis)))(init_positions, chain_aux)
+
     logger.info('> starting %s sampling: %d kept draws x %d chains...',
                 cfg.name, n_kept, n_chains)
     host_chunks, info_chunks = [], []

@@ -92,6 +92,13 @@ class BDETrainer:
                     self.module, self.loader, cfg, self.config.data.task,
                     self.n_chains, self._key_train, self.mesh)
                 store.save(self.warmstart_dir / 'metrics.pkl')
+                try:
+                    from mile_tpu.viz import plot_warmstart_results
+
+                    fig = plot_warmstart_results(store)
+                    fig.savefig(self.warmstart_dir / 'warmstart_curves.png')
+                except Exception:
+                    logger.exception('warmstart plot failed')
             else:
                 logger.info('warmstart disabled; sampling from fresh inits')
                 keys = jax.random.split(self._key_train, self.n_chains)
@@ -122,10 +129,14 @@ class BDETrainer:
                             self.bayes.unravel(jnp.asarray(chunk[c, j])))
 
         with measure_time('time.sampling'):
-            if scfg.partition_sampling:
+            if scfg.partition_sampling or scfg.params_frozen:
                 from mile_tpu.bayes import partition as part
 
-                mask = part.partition_mask(self._template, self.bayes.dim)
+                if scfg.params_frozen:
+                    mask = part.frozen_mask(self._template, self.bayes.dim,
+                                            scfg.params_frozen)
+                else:
+                    mask = part.partition_mask(self._template, self.bayes.dim)
                 logger.info('partition sampling: %d of %d coords sampled',
                             int(mask.sum()), self.bayes.dim)
                 result = run_sampler(
@@ -161,9 +172,13 @@ class BDETrainer:
         _, metrics = evaluate_de(
             self.module, member_params, x, y, task,
             n_samples=100, nominal_coverages=nominal, metrics_dict=metrics)
-        _, metrics = evaluate_bde(
+        preds, metrics = evaluate_bde(
             self.module, self.bayes.unravel, jnp.asarray(result.samples),
             x, y, task, nominal_coverages=nominal, metrics_dict=metrics)
+        from mile_tpu.inference import metrics as M
+
+        metrics['running_lppd'] = np.asarray(
+            M.running_lppd(M.pointwise_lppd(preds, y, task)))
         metrics['step_size'] = result.tuned.get('step_size')
         metrics['L'] = result.tuned.get('L')
         with open(self.exp_dir / 'metrics.pkl', 'wb') as f:
