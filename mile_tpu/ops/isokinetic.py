@@ -122,20 +122,24 @@ def _refresh_kernel(padded: int):
 
     def kernel(u_ref, par_ref, seed_ref, out_ref):
         pltpu.prng_seed(seed_ref[0])
-        # Box-Muller from on-chip random bits -> standard normals
+        # Box-Muller from on-chip random bits -> standard normals.
+        # Raw bits are reinterpreted unsigned and truncated to 24 bits so
+        # the uniform conversion is exact in fp32 (and strictly positive
+        # for the log).
         shape = (rows, LANE)
-        a = pltpu.prng_random_bits(shape)
-        b = pltpu.prng_random_bits(shape)
-        # uniforms in (0,1]; avoid log(0)
-        ua = (a.astype(jnp.float32) + 1.0) * (1.0 / 4294967296.0)
-        ub = b.astype(jnp.float32) * (1.0 / 4294967296.0)
+        def uniform_bits():
+            raw = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+            # logical shift to 24 bits, then through int32 for the f32
+            # cast (Mosaic has no uint32->float32 cast)
+            return pltpu.bitcast(raw >> 8, jnp.int32).astype(jnp.float32)
+
+        ua = (uniform_bits() + 1.0) * (1.0 / 16777216.0)  # (0, 1]
+        ub = uniform_bits() * (1.0 / 16777216.0)          # [0, 1)
         z = jnp.sqrt(-2.0 * jnp.log(ua)) * jnp.cos(TWO_PI * ub)
         nu = par_ref[0, 0]
-        mask = u_ref[:] * 0.0 + 1.0  # padding of u is 0 -> keep noise there 0
         # padding lanes of u are exactly 0; zero their noise so the norm
         # reduction stays exact:
         z = jnp.where(u_ref[:] == 0.0, 0.0, z)
-        del mask
         new_u = u_ref[:] + nu * z
         inv_norm = jax.lax.rsqrt(jnp.maximum(jnp.sum(new_u * new_u), 1e-30))
         out_ref[:] = new_u * inv_norm
