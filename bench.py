@@ -17,10 +17,17 @@ SURVEY §6; 12 chains via fake devices). See CPU_BASELINE_SAMPLES_PER_SEC.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
+
+# persistent compilation cache: repeat bench runs skip the (large) tuner
+# compile entirely
+os.makedirs('/tmp/mile_tpu_jax_cache', exist_ok=True)
+jax.config.update('jax_compilation_cache_dir', '/tmp/mile_tpu_jax_cache')
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 
 # Reference-equivalent throughput on this container's CPU host
 # (same workload, this framework on JAX_PLATFORMS=cpu, 12 chains;

@@ -53,6 +53,25 @@ class BaseLoader(abc.ABC):
     def __len__(self) -> int:
         ...
 
+    def epoch_batch_indices(self, batch_size: int, n_members: int):
+        """Per-member minibatch index plan: (n_members, n_batches, B) int32.
+
+        Each ensemble member gets its OWN permutation of the training rows
+        (the reference's per-device splits, src/dataset/tabular.py:193-197)
+        — the trainer gathers rows on device, so an epoch stays one
+        compiled scan while members see different batch compositions.
+        """
+        import numpy as np
+
+        n = int(self.arrays('train')[0].shape[0])
+        n_batches = max(1, n // batch_size)
+        rng = getattr(self, '_rng', np.random.default_rng(0))
+        plan = np.stack([
+            rng.permutation(n)[: n_batches * batch_size].reshape(
+                n_batches, batch_size)
+            for _ in range(n_members)])
+        return plan.astype('int32')
+
     # convenience accessors matching the reference property surface
     @property
     def train_x(self):

@@ -129,7 +129,12 @@ def train_ensemble(
         tx = partition_optimizer(tx, template)
     state = init_ensemble(module, x_train[:1], n_members, rng, tx, mesh)
 
-    def member_step(params, opt_state, stop, x, y):
+    x_all, y_all = loader.arrays('train')
+
+    def member_step(params, opt_state, stop, row_ids):
+        # device-side gather: each member trains on its own batch rows
+        x, y = x_all[row_ids], y_all[row_ids]
+
         def lf(p):
             lvals = module.apply({'params': p}, x)
             return loss_fn(lvals, y)
@@ -143,17 +148,18 @@ def train_ensemble(
             jnp.where(stop, jnp.nan, loss)
 
     @jax.jit
-    def run_epoch(params, opt_state, stop, bx, by):
-        def scan_step(carry, batch):
+    def run_epoch(params, opt_state, stop, batch_plan):
+        # batch_plan: (n_members, n_batches, B) row indices
+        def scan_step(carry, idx_b):
             params, opt_state = carry
-            x, y = batch
             params, opt_state, loss = jax.vmap(
-                member_step, in_axes=(0, 0, 0, None, None)
-            )(params, opt_state, stop, x, y)
+                member_step, in_axes=(0, 0, 0, 0)
+            )(params, opt_state, stop, idx_b)
             return (params, opt_state), loss
 
         (params, opt_state), losses = jax.lax.scan(
-            scan_step, (params, opt_state), (bx, by))
+            scan_step, (params, opt_state),
+            jnp.swapaxes(batch_plan, 0, 1))
         return params, opt_state, losses.mean(axis=0)  # (n_members,)
 
     @jax.jit
@@ -172,9 +178,10 @@ def train_ensemble(
 
     params, opt_state = state.params, state.opt_state
     for epoch in range(config.max_epochs):
-        bx, by = loader.epoch_batches(batch_size)
+        plan = jnp.asarray(
+            loader.epoch_batch_indices(batch_size, n_members))
         params, opt_state, train_loss = run_epoch(params, opt_state, stop,
-                                                  bx, by)
+                                                  plan)
         x_tr, y_tr = loader.arrays('train')
         train_hist.append(evaluate(params, x_tr, y_tr, epoch))
         if has_valid:

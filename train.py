@@ -38,6 +38,11 @@ def main(argv=None) -> int:
                         help='search-tree YAML for grid expansion')
     parser.add_argument('--devices', '-d', type=int, default=None,
                         help='number of devices for the chain mesh')
+    parser.add_argument('--device_limit', type=int, default=None,
+                        help='cap on devices used (reference flag parity)')
+    parser.add_argument('--jax_cache', default='/tmp/mile_tpu_jax_cache',
+                        help='persistent XLA compilation cache dir '
+                             '("" to disable)')
     parser.add_argument('--silent', action='store_true',
                         help='disable console logging')
     parser.add_argument('--outer_parallel', action='store_true',
@@ -48,6 +53,15 @@ def main(argv=None) -> int:
 
     if args.devices:
         _maybe_fake_cpu_devices(args.devices)
+    if args.device_limit and (args.devices is None
+                              or args.devices > args.device_limit):
+        args.devices = args.device_limit
+    if args.jax_cache:
+        import jax
+
+        os.makedirs(args.jax_cache, exist_ok=True)
+        jax.config.update('jax_compilation_cache_dir', args.jax_cache)
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 
     if not args.silent:
         logging.basicConfig(level=logging.INFO,
