@@ -79,3 +79,27 @@ class Config(BaseConfig):
     @classmethod
     def list_available_models(cls) -> list[str]:
         return sorted(ModelConfig.registry())
+
+    @classmethod
+    def template(cls, model: str = 'FCN') -> dict:
+        """Filled-out config template for a given model (reference
+        ``Config.template_to_yaml``, src/config/core.py:84-201)."""
+        reg = ModelConfig.registry()
+        if model not in reg:
+            raise ConfigError(
+                f'unknown model {model!r}; options: {sorted(reg)}')
+        schema = cls.schema()
+        schema['model'] = reg[model].schema()
+        schema['model']['model'] = model
+        schema['saving_dir'] = 'results/'
+        schema['experiment_name'] = 'experiment'
+        schema['data'] = DataConfig.schema()
+        schema['data']['path'] = 'data/airfoil.data'
+        return schema
+
+    @classmethod
+    def model_template_to_yaml(cls, path, model: str = 'FCN') -> None:
+        import yaml
+
+        with open(path, 'w') as f:
+            yaml.safe_dump(cls.template(model), f, sort_keys=False)
