@@ -101,6 +101,18 @@ class SamplerConfig(BaseConfig):
     # HMC-only: number of leapfrog steps per proposal.
     num_integration_steps: int = 32
 
+    def build_kernel(self, logdensity_fn):
+        """Resolve the kernel factory (reference registry parity,
+        src/training/kernels/__init__.py:14-20)."""
+        from mile_tpu.mcmc import hmc, mclmc, nuts
+
+        if self.name == Sampler.MCLMC:
+            return mclmc.build_kernel(logdensity_fn)
+        if self.name == Sampler.NUTS:
+            return nuts.build_kernel(logdensity_fn)
+        return hmc.build_kernel(
+            logdensity_fn, num_integration_steps=self.num_integration_steps)
+
     def __post_init__(self):
         if self.warmup_steps <= 0:
             raise ConfigError('sampler.warmup_steps must be > 0')

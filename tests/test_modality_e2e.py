@@ -1,0 +1,134 @@
+"""End-to-end pipelines for the image and text modalities (tiny budgets)."""
+import numpy as np
+import pytest
+import yaml
+
+from mile_tpu.config import Config
+from mile_tpu.train.trainer import BDETrainer
+
+
+@pytest.fixture
+def image_npz(tmp_path):
+    rng = np.random.default_rng(0)
+    # class-dependent mean so the model can actually learn something
+    y = rng.integers(0, 3, 300)
+    x = rng.normal(size=(300, 8, 8)) * 20 + y[:, None, None] * 40.0
+    p = tmp_path / 'imgs.npz'
+    np.savez(p, x=np.clip(x, 0, 255).astype(np.float32), y=y)
+    return p
+
+
+def test_image_classification_pipeline(tmp_path, image_npz):
+    cfg = Config.from_dict(yaml.safe_load(f"""
+saving_dir: '{tmp_path}/res'
+experiment_name: 'img'
+data:
+  path: '{image_npz}'
+  data_type: 'image'
+  task: 'class'
+  train_split: 0.7
+  valid_split: 0.15
+  test_split: 0.15
+model:
+  model: LeNetti
+  out_dim: 3
+  activation: relu
+training:
+  warmstart:
+    include: true
+    optimizer_config: {{name: adam, parameters: {{learning_rate: 0.01}}}}
+    max_epochs: 8
+    batch_size: 32
+  sampler:
+    name: mclmc
+    warmup_steps: 300
+    n_chains: 2
+    n_samples: 200
+    n_thinning: 4
+    step_size_init: 0.001
+rng: 0
+logging: false
+"""))
+    trainer = BDETrainer(cfg)
+    metrics = trainer.train(report=False)
+    assert np.isfinite(metrics['lppd'])
+    assert metrics['acc'] > 0.5  # 3 classes, separable means
+    assert metrics['de_acc'] > 0.5
+
+
+@pytest.fixture
+def text_csv(tmp_path):
+    rng = np.random.default_rng(1)
+    rows = ['text,label']
+    for _ in range(240):
+        if rng.random() < 0.5:
+            word = ''.join(rng.choice(list('abc'), 10))
+            rows.append(f'"{word}",neg')
+        else:
+            word = ''.join(rng.choice(list('xyz'), 10))
+            rows.append(f'"{word}",pos')
+    p = tmp_path / 't.csv'
+    p.write_text('\n'.join(rows))
+    return p
+
+
+def test_text_classification_pipeline(tmp_path, text_csv):
+    cfg = Config.from_dict(yaml.safe_load(f"""
+saving_dir: '{tmp_path}/res'
+experiment_name: 'txt'
+data:
+  path: '{text_csv}'
+  data_type: 'text'
+  task: 'class'
+  train_split: 0.7
+  valid_split: 0.15
+  test_split: 0.15
+model:
+  model: AttentionClassifier
+  vocab_size: 16
+  context_len: 16
+  emb_size: 8
+  n_heads: 2
+  qkv_dim: 8
+  n_classes: 2
+  projection_dim: [8]
+training:
+  warmstart:
+    include: true
+    optimizer_config: {{name: adam, parameters: {{learning_rate: 0.01}}}}
+    max_epochs: 10
+    batch_size: 32
+  sampler:
+    name: mclmc
+    warmup_steps: 300
+    n_chains: 2
+    n_samples: 200
+    n_thinning: 4
+    step_size_init: 0.001
+  tokenizer:
+    name: single_char
+    parameters: {{context_len: 16}}
+rng: 0
+logging: false
+"""))
+    trainer = BDETrainer(cfg)
+    metrics = trainer.train(report=False)
+    assert np.isfinite(metrics['lppd'])
+    # perfectly separable vocabularies: both DE and BDE must classify well
+    assert metrics['de_acc'] > 0.8
+    assert metrics['acc'] > 0.8
+
+
+def test_sampler_config_build_kernel():
+    import jax
+    import jax.numpy as jnp
+
+    from mile_tpu.config import Sampler, SamplerConfig
+    from mile_tpu.mcmc import mclmc
+
+    logdensity = lambda x: -0.5 * jnp.sum(x * x)
+    kernel = SamplerConfig(name=Sampler.MCLMC).build_kernel(logdensity)
+    state = mclmc.init(jnp.zeros(4), logdensity, jax.random.PRNGKey(0))
+    new_state, info = kernel(jax.random.PRNGKey(1), state, jnp.asarray(3.0),
+                             jnp.asarray(0.1), jnp.ones(4))
+    assert np.isfinite(float(info.energy_change))
