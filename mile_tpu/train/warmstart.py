@@ -1,12 +1,14 @@
 """Deep-ensemble warmstart training (one member per future MCMC chain).
 
 Reference: /root/reference/src/training/trainer.py:329-538,662-952. The
-reference trains members in pmap batches of ``n_devices`` with a Python
-``train_plan`` loop; here ALL members train simultaneously — the member
-axis is a vmapped batch axis sharded over the ``chains`` mesh axis, and a
-whole epoch of minibatch SGD is one compiled ``lax.scan``. Early-stopped
-members keep stepping as masked no-ops inside the program (the reference
-does the same inside pmap via ``lax.cond``).
+reference trains members in pmap batches of ``n_devices`` with Python
+loops over epochs and minibatches; here the ENTIRE training run — every
+epoch, every minibatch, per-member early stopping — is ONE compiled
+program: a ``lax.while_loop`` over epochs around a ``lax.scan`` over
+minibatches of a member-vmapped SGD step, with the member axis sharded
+over the ``chains`` mesh axis. The host uploads a precomputed index plan
+(per-member batch permutations, reference semantics of per-device splits)
+and downloads the final parameters + metric histories once.
 """
 from __future__ import annotations
 
@@ -22,13 +24,12 @@ from mile_tpu.config.data import Task
 from mile_tpu.config.training import WarmstartConfig
 from mile_tpu.inference.metrics import (
     ClassificationMetrics,
-    Metrics,
     MetricsStore,
     RegressionMetrics,
     gaussian_nlll,
     squared_error,
 )
-from mile_tpu.parallel.mesh import chain_axis_sharding, shard_chains
+from mile_tpu.parallel.mesh import shard_chains
 
 logger = logging.getLogger(__name__)
 
@@ -90,6 +91,18 @@ def earlystop_mask(losses: np.ndarray, patience: int | None) -> np.ndarray:
     return np.all(recent >= reference, axis=1)
 
 
+def _earlystop_jax(vhist: jnp.ndarray, epoch: jnp.ndarray,
+                   patience: int) -> jnp.ndarray:
+    """In-program early stopping: vhist (members, max_epochs) filled up to
+    and including ``epoch``. Same semantics as :func:`earlystop_mask`."""
+    m = vhist.shape[0]
+    start = jnp.maximum(epoch - patience, 0)  # index of the reference loss
+    ref = jax.lax.dynamic_slice(vhist, (0, start), (m, 1))
+    recent = jax.lax.dynamic_slice(vhist, (0, start + 1), (m, patience))
+    stop = jnp.all(recent >= ref, axis=1)
+    return jnp.where(epoch >= patience, stop, False)
+
+
 # ---------------------------------------------------------------- training
 def init_ensemble(module, x_sample, n_members: int, rng: jax.Array,
                   tx: optax.GradientTransformation, mesh=None) -> EnsembleState:
@@ -111,33 +124,40 @@ def train_ensemble(
     rng: jax.Array,
     mesh=None,
 ) -> tuple[dict, MetricsStore]:
-    """Train ``n_members`` networks; returns (stacked params, metrics).
-
-    One jitted program per epoch: ``lax.scan`` over minibatches of a
-    member-vmapped SGD step. Early stopping is evaluated on host between
-    epochs from per-member validation losses.
-    """
+    """Train ``n_members`` networks; returns (stacked params, metrics)."""
     loss_fn, metrics_fn, metrics_cls = task_fns(task)
     tx = config.optimizer_config.build()
 
-    x_train, _ = loader.arrays('train')
+    x_all, y_all = loader.arrays('train')
     if config.partition_warmstart:
         # train only input/output layers (reference trainer.py:890-901)
         from mile_tpu.bayes.partition import partition_optimizer
 
-        template = module.init(rng, x_train[:1])['params']
+        template = module.init(rng, x_all[:1])['params']
         tx = partition_optimizer(tx, template)
-    state = init_ensemble(module, x_train[:1], n_members, rng, tx, mesh)
+    state = init_ensemble(module, x_all[:1], n_members, rng, tx, mesh)
 
-    x_all, y_all = loader.arrays('train')
+    x_valid, y_valid = loader.arrays('valid')
+    has_valid = x_valid.shape[0] > 0
+    batch_size = config.batch_size or x_all.shape[0]
+    max_epochs = config.max_epochs
+    patience = config.patience if (config.patience and has_valid) else None
+
+    # full index plan for all epochs: (E, members, n_batches, B)
+    plan = np.stack([
+        loader.epoch_batch_indices(batch_size, n_members)
+        for _ in range(max_epochs)])
+    plan = jnp.asarray(plan)
+
+    metric_keys = [k for k in metrics_cls.__dataclass_fields__
+                   if k != 'step']
+    valid_key = 'nlll' if task == Task.REGRESSION else 'cross_entropy'
 
     def member_step(params, opt_state, stop, row_ids):
-        # device-side gather: each member trains on its own batch rows
         x, y = x_all[row_ids], y_all[row_ids]
 
         def lf(p):
-            lvals = module.apply({'params': p}, x)
-            return loss_fn(lvals, y)
+            return loss_fn(module.apply({'params': p}, x), y)
 
         loss, grads = jax.value_and_grad(lf)(params)
         updates, new_opt = tx.update(grads, opt_state, params)
@@ -147,64 +167,82 @@ def train_ensemble(
         return keep(new_params, params), keep(new_opt, opt_state), \
             jnp.where(stop, jnp.nan, loss)
 
-    @jax.jit
-    def run_epoch(params, opt_state, stop, batch_plan):
-        # batch_plan: (n_members, n_batches, B) row indices
-        def scan_step(carry, idx_b):
-            params, opt_state = carry
-            params, opt_state, loss = jax.vmap(
-                member_step, in_axes=(0, 0, 0, 0)
-            )(params, opt_state, stop, idx_b)
-            return (params, opt_state), loss
-
-        (params, opt_state), losses = jax.lax.scan(
-            scan_step, (params, opt_state),
-            jnp.swapaxes(batch_plan, 0, 1))
-        return params, opt_state, losses.mean(axis=0)  # (n_members,)
-
-    @jax.jit
-    def evaluate(params, x, y, epoch):
+    def eval_members(params, x, y, epoch):
         return jax.vmap(
             lambda p: metrics_fn(module.apply({'params': p}, x), y, epoch)
         )(params)
 
-    x_valid, y_valid = loader.arrays('valid')
-    has_valid = x_valid.shape[0] > 0
-    batch_size = config.batch_size or x_train.shape[0]
+    class Carry(NamedTuple):
+        params: dict
+        opt_state: tuple
+        stop: jnp.ndarray                  # (members,) bool
+        epoch: jnp.ndarray
+        train_hist: dict                   # key -> (members, E)
+        valid_hist: dict
 
-    valid_losses: list[np.ndarray] = []
-    stop = jnp.zeros(n_members, dtype=bool)
-    train_hist, valid_hist = [], []
+    def one_epoch(c: Carry) -> Carry:
+        idx_e = plan[c.epoch]  # (members, n_batches, B)
 
-    params, opt_state = state.params, state.opt_state
-    for epoch in range(config.max_epochs):
-        plan = jnp.asarray(
-            loader.epoch_batch_indices(batch_size, n_members))
-        params, opt_state, train_loss = run_epoch(params, opt_state, stop,
-                                                  plan)
-        x_tr, y_tr = loader.arrays('train')
-        train_hist.append(evaluate(params, x_tr, y_tr, epoch))
+        def scan_step(carry, idx_b):
+            params, opt_state = carry
+            params, opt_state, loss = jax.vmap(
+                member_step, in_axes=(0, 0, 0, 0)
+            )(params, opt_state, c.stop, idx_b)
+            return (params, opt_state), loss
+
+        (params, opt_state), _ = jax.lax.scan(
+            scan_step, (c.params, c.opt_state),
+            jnp.swapaxes(idx_e, 0, 1))
+
+        tm = eval_members(params, x_all, y_all, c.epoch)
+        train_hist = {
+            k: c.train_hist[k].at[:, c.epoch].set(
+                jnp.where(c.stop, jnp.nan, getattr(tm, k)))
+            for k in metric_keys}
+
         if has_valid:
-            vm = evaluate(params, x_valid, y_valid, epoch)
-            valid_hist.append(vm)
-            key = 'nlll' if task == Task.REGRESSION else 'cross_entropy'
-            valid_losses.append(np.asarray(getattr(vm, key)))
-            stop_np = earlystop_mask(np.stack(valid_losses, axis=1),
-                                     config.patience)
-            stop = jnp.asarray(stop_np)
-            if stop_np.all():
-                logger.info('all members early-stopped at epoch %d', epoch)
-                break
+            vm = eval_members(params, x_valid, y_valid, c.epoch)
+            valid_hist = {
+                k: c.valid_hist[k].at[:, c.epoch].set(getattr(vm, k))
+                for k in metric_keys}
+            stop = (c.stop | _earlystop_jax(
+                valid_hist[valid_key], c.epoch, patience)
+                if patience else c.stop)
+        else:
+            valid_hist, stop = c.valid_hist, c.stop
 
-    x_te, y_te = loader.arrays('test')
-    test_metrics = (evaluate(params, x_te, y_te, 0)
-                    if x_te.shape[0] > 0 else metrics_cls.empty())
+        return Carry(params, opt_state, stop, c.epoch + 1,
+                     train_hist, valid_hist)
+
+    @jax.jit
+    def train_all(params, opt_state):
+        hist = lambda: {k: jnp.full((n_members, max_epochs), jnp.nan)
+                        for k in metric_keys}
+        init = Carry(params, opt_state,
+                     jnp.zeros(n_members, dtype=bool),
+                     jnp.asarray(0, jnp.int32), hist(), hist())
+        out = jax.lax.while_loop(
+            lambda c: (c.epoch < max_epochs) & ~jnp.all(c.stop),
+            one_epoch, init)
+        return out
+
+    out = jax.block_until_ready(train_all(state.params, state.opt_state))
+    epochs_done = int(out.epoch)
+    logger.info('warmstart finished after %d epoch(s)', epochs_done)
+
+    def to_metrics(hist: dict) -> 'metrics_cls':
+        if epochs_done == 0:
+            return metrics_cls.empty()
+        step = jnp.tile(jnp.arange(epochs_done), (n_members, 1))
+        return metrics_cls(step=step, **{
+            k: hist[k][:, :epochs_done] for k in metric_keys})
 
     store = MetricsStore(
-        train=metrics_cls.cstack(train_hist) if train_hist
+        train=to_metrics(out.train_hist),
+        valid=to_metrics(out.valid_hist) if has_valid
         else metrics_cls.empty(),
-        valid=metrics_cls.cstack(valid_hist) if valid_hist
-        else metrics_cls.empty(),
-        test=test_metrics,
+        test=(eval_members(out.params, *loader.arrays('test'), 0)
+              if loader.arrays('test')[0].shape[0] > 0
+              else metrics_cls.empty()),
     )
-    return params, store
+    return out.params, store
