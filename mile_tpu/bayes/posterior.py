@@ -59,11 +59,18 @@ class BayesianModel:
         prior: Prior,
         task: Task,
         n_batches: int = 1,
+        likelihood_chunk_size: int | None = None,
     ):
+        """``likelihood_chunk_size``: evaluate the log-likelihood in
+        rematerialized chunks of this many observations — bounds activation
+        memory for full-batch gradients over large datasets (image BNNs)
+        at the cost of recomputing forward activations in the backward
+        pass (SURVEY §7.4: trade FLOPs for HBM)."""
         self.module = module
         self.prior = prior
         self.task = task
         self.n_batches = n_batches
+        self.likelihood_chunk_size = likelihood_chunk_size
         flat, unravel = ravel_pytree(params)
         self.dim = int(flat.size)
         self.unravel = unravel
@@ -76,13 +83,37 @@ class BayesianModel:
     def log_prior(self, theta: jnp.ndarray) -> jnp.ndarray:
         return self.prior.log_prior(theta)
 
-    def log_likelihood(self, theta: jnp.ndarray, x, y, **kwargs) -> jnp.ndarray:
-        lvals = self.module.apply({'params': self.unravel(theta)}, x, **kwargs)
+    def _loglik_term(self, lvals, y) -> jnp.ndarray:
         if self.task == Task.REGRESSION:
             return gaussian_loglik(lvals, y)
         if self.task == Task.CLASSIFICATION:
             return categorical_loglik(lvals, y)
         raise NotImplementedError(f'likelihood for {self.task} not implemented')
+
+    def log_likelihood(self, theta: jnp.ndarray, x, y, **kwargs) -> jnp.ndarray:
+        chunk = self.likelihood_chunk_size
+        params = self.unravel(theta)
+        if not chunk or x.shape[0] <= chunk:
+            lvals = self.module.apply({'params': params}, x, **kwargs)
+            return self._loglik_term(lvals, y)
+
+        n = x.shape[0]
+        n_full = (n // chunk) * chunk
+        xc = x[:n_full].reshape(n // chunk, chunk, *x.shape[1:])
+        yc = y[:n_full].reshape(n // chunk, chunk, *y.shape[1:])
+
+        @jax.checkpoint
+        def chunk_loglik(xy):
+            xb, yb = xy
+            return self._loglik_term(
+                self.module.apply({'params': params}, xb, **kwargs), yb)
+
+        total = jnp.sum(jax.lax.map(chunk_loglik, (xc, yc)))
+        if n_full < n:  # remainder chunk (static shape)
+            total = total + self._loglik_term(
+                self.module.apply({'params': params}, x[n_full:], **kwargs),
+                y[n_full:])
+        return total
 
     def log_posterior(self, theta: jnp.ndarray, x, y, **kwargs) -> jnp.ndarray:
         return (

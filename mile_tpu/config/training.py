@@ -98,6 +98,9 @@ class SamplerConfig(BaseConfig):
     partition_sampling: bool = False
     # TPU-native extras (absent in reference):
     stream_samples: bool = False   # per-draw host streaming (parity mode)
+    # chunk+remat the log-likelihood over observations (None = full batch);
+    # bounds HBM for large image datasets at the cost of recompute
+    likelihood_chunk_size: Optional[int] = None
     # HMC-only: number of leapfrog steps per proposal.
     num_integration_steps: int = 32
 

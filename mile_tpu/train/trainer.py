@@ -57,7 +57,8 @@ class BDETrainer:
         template = self.module.init(self._key_init, x_sample[:1])['params']
         self.prior = sampler_cfg.prior_config.build()
         self.bayes = BayesianModel(
-            self.module, template, self.prior, config.data.task)
+            self.module, template, self.prior, config.data.task,
+            likelihood_chunk_size=sampler_cfg.likelihood_chunk_size)
         self._template = template
         logger.info('model dim=%d', self.bayes.dim)
 

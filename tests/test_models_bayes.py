@@ -131,3 +131,23 @@ def test_classification_posterior_finite_and_grad():
     assert jnp.isfinite(val)
     assert grad.shape == theta.shape
     assert jnp.all(jnp.isfinite(grad))
+
+
+def test_chunked_likelihood_matches_full():
+    """Chunked+remat likelihood must equal full-batch value AND gradient."""
+    from mile_tpu.config.data import DataConfig  # noqa: F401  (parity import)
+
+    cfg = FCNConfig(hidden_structure=[8, 2])
+    model = build_model(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (53, 3))  # odd remainder
+    y = jax.random.normal(jax.random.PRNGKey(2), (53,))
+    params = model.init(jax.random.PRNGKey(0), x[:1])['params']
+    prior = Prior.from_name(PriorDist.STANDARD_NORMAL)
+    full = BayesianModel(model, params, prior, Task.REGRESSION)
+    chunked = BayesianModel(model, params, prior, Task.REGRESSION,
+                            likelihood_chunk_size=16)
+    theta = full.flatten(params)
+    v1, g1 = jax.value_and_grad(full.logdensity_fn(x, y))(theta)
+    v2, g2 = jax.value_and_grad(chunked.logdensity_fn(x, y))(theta)
+    assert np.isclose(float(v1), float(v2), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4)
