@@ -143,11 +143,20 @@ def train_ensemble(
     max_epochs = config.max_epochs
     patience = config.patience if (config.patience and has_valid) else None
 
-    # full index plan for all epochs: (E, members, n_batches, B)
-    plan = np.stack([
-        loader.epoch_batch_indices(batch_size, n_members)
-        for _ in range(max_epochs)])
-    plan = jnp.asarray(plan)
+    n_train = int(x_all.shape[0])
+    n_batches = max(1, n_train // batch_size)
+    plan_key = jax.random.fold_in(rng, 1)
+
+    def epoch_plan(epoch: jnp.ndarray) -> jnp.ndarray:
+        """Per-member batch permutations, generated ON DEVICE per epoch:
+        (members, n_batches, B). Each member sees its own data ordering
+        (reference per-device splits, src/dataset/tabular.py:193-197)
+        without a host-materialized O(E·M·N) index plan."""
+        keys = jax.random.split(jax.random.fold_in(plan_key, epoch),
+                                n_members)
+        perm = jax.vmap(lambda k: jax.random.permutation(k, n_train))(keys)
+        return perm[:, : n_batches * batch_size].reshape(
+            n_members, n_batches, batch_size)
 
     metric_keys = [k for k in metrics_cls.__dataclass_fields__
                    if k != 'step']
@@ -181,7 +190,7 @@ def train_ensemble(
         valid_hist: dict
 
     def one_epoch(c: Carry) -> Carry:
-        idx_e = plan[c.epoch]  # (members, n_batches, B)
+        idx_e = epoch_plan(c.epoch)  # (members, n_batches, B)
 
         def scan_step(carry, idx_b):
             params, opt_state = carry
