@@ -10,9 +10,9 @@ import logging
 import time
 import typing
 from pathlib import Path
-from typing import Any, Mapping, Optional
+from typing import Any, Mapping
 
-from mile_tpu.config.base import BaseConfig, ConfigError, _convert
+from mile_tpu.config.base import BaseConfig, ConfigError
 from mile_tpu.config.data import DataConfig
 from mile_tpu.config.models import ModelConfig
 from mile_tpu.config.training import TrainingConfig

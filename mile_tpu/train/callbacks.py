@@ -16,7 +16,6 @@ from functools import partial
 from pathlib import Path
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 logger = logging.getLogger(__name__)
