@@ -121,11 +121,15 @@ def run_window_adaptation(
     num_steps: int,
     initial_step_size: float = 1.0,
     target_acceptance_rate: float = 0.8,
+    trace_every: int = 0,
 ):
-    """Adapt one chain for ``num_steps``; returns (state, step_size, inv_mass).
+    """Adapt one chain for ``num_steps``; returns (state, step_size,
+    inv_mass[, trace]).
 
     The schedule is a host-side constant array scanned alongside the keys,
-    so the whole warmup is ONE ``lax.scan`` program.
+    so the whole warmup is ONE ``lax.scan`` program. With ``trace_every``
+    > 0, every Nth position is kept (keep_warmup parity — the reference
+    dumps warmup positions via per-step io_callback, warmup.py:102-109).
     """
     schedule = jnp.asarray(build_schedule(num_steps))
     adapt = window_adaptation_init(init_state.position, initial_step_size)
@@ -141,7 +145,26 @@ def run_window_adaptation(
         return (state, adapt), None
 
     keys = jax.random.split(rng_key, num_steps)
-    (state, adapt), _ = jax.lax.scan(one_step, (init_state, adapt),
-                                     (schedule, keys))
+    if not trace_every:
+        (state, adapt), _ = jax.lax.scan(one_step, (init_state, adapt),
+                                         (schedule, keys))
+        trace = None
+    else:
+        n = (num_steps // trace_every) * trace_every
+        blk = lambda a: a[:n].reshape(n // trace_every, trace_every,
+                                      *a.shape[1:])
+
+        def outer(carry, xs):
+            carry, _ = jax.lax.scan(one_step, carry, xs)
+            return carry, carry[0].position
+
+        (state, adapt), trace = jax.lax.scan(
+            outer, (init_state, adapt), (blk(schedule), blk(keys)))
+        if n < num_steps:
+            (state, adapt), _ = jax.lax.scan(
+                one_step, (state, adapt), (schedule[n:], keys[n:]))
+
     step_size, inverse_mass_matrix = window_adaptation_final(adapt)
+    if trace_every:
+        return state, step_size, inverse_mass_matrix, trace
     return state, step_size, inverse_mass_matrix

@@ -51,13 +51,19 @@ def run_hmc_family(
     logger.info('> starting %s window adaptation (%d chains, %d steps)...',
                 cfg.name, n_chains, cfg.warmup_steps)
 
+    from mile_tpu.train.sampling import MAX_KEPT_WARMUP
+
+    trace_every = (max(1, cfg.warmup_steps // MAX_KEPT_WARMUP)
+                   if cfg.keep_warmup else 0)
+
     def warmup_one(position, key, aux):
         logdensity = _bind(logdensity_fn, aux)
         state = chain_init(position, logdensity)
         return run_window_adaptation(
             make_kernel(logdensity), state, key, cfg.warmup_steps,
             initial_step_size=cfg.step_size_init if cfg.step_size_init
-            else 1.0)
+            else 1.0,
+            trace_every=trace_every)
 
     aux_axis = None if chain_aux is None else 0
     keys = jax.random.split(warmup_key, n_chains)
@@ -66,9 +72,14 @@ def run_hmc_family(
         keys = shard_chains(keys, mesh)
         if chain_aux is not None:
             chain_aux = shard_chains(chain_aux, mesh)
-    states, step_size, inverse_mass_matrix = jax.block_until_ready(
+    warmup_out = jax.block_until_ready(
         jax.jit(jax.vmap(warmup_one, in_axes=(0, 0, aux_axis)))(
             init_positions, keys, chain_aux))
+    if trace_every:
+        states, step_size, inverse_mass_matrix, warmup_trace = warmup_out
+    else:
+        states, step_size, inverse_mass_matrix = warmup_out
+        warmup_trace = None
     logger.info('> adaptation done: step_size=%s', np.asarray(step_size))
 
     # --------------------------------------------------------- sampling
@@ -136,6 +147,8 @@ def run_hmc_family(
         'inverse_mass_matrix': np.asarray(inverse_mass_matrix),
     }
     info_dict = {k: np.asarray(v) for k, v in infos._asdict().items()}
+    if warmup_trace is not None:
+        info_dict['warmup_trace'] = np.asarray(jax.device_get(warmup_trace))
     logger.info('> %s sampling completed (mean acceptance %.3f).',
                 cfg.name, float(np.mean(info_dict['acceptance_rate'])))
     return SamplingResult(samples, tuned, info_dict, state)

@@ -107,3 +107,17 @@ def test_window_adapted_runtime_gaussian(name):
     # mass matrix learned the scale structure
     imm = res.tuned['inverse_mass_matrix']
     assert imm[:, -1].mean() / imm[:, 0].mean() > 4.0
+
+
+def test_nuts_keep_warmup_trace():
+    dim = 6
+    logdensity = lambda x: -0.5 * jnp.sum(x * x)
+    cfg = SamplerConfig(name=Sampler.NUTS, warmup_steps=120, n_chains=2,
+                        n_samples=40, n_thinning=2, step_size_init=0.5,
+                        keep_warmup=True)
+    x0 = jax.random.normal(jax.random.PRNGKey(0), (2, dim))
+    res = run_hmc_family(logdensity, cfg, jax.random.PRNGKey(1), x0)
+    trace = res.info['warmup_trace']
+    assert trace.shape[0] == 2 and trace.shape[2] == dim
+    assert trace.shape[1] >= 100  # thinned warmup positions
+    assert np.isfinite(trace).all()
