@@ -145,9 +145,8 @@ def train_ensemble(
 
     n_train = int(x_all.shape[0])
     n_batches = max(1, n_train // batch_size)
-    plan_key = jax.random.fold_in(rng, 1)
 
-    def epoch_plan(epoch: jnp.ndarray) -> jnp.ndarray:
+    def epoch_plan(plan_key, epoch: jnp.ndarray) -> jnp.ndarray:
         """Per-member batch permutations, generated ON DEVICE per epoch:
         (members, n_batches, B). Each member sees its own data ordering
         (reference per-device splits, src/dataset/tabular.py:193-197)
@@ -186,11 +185,12 @@ def train_ensemble(
         opt_state: tuple
         stop: jnp.ndarray                  # (members,) bool
         epoch: jnp.ndarray
+        plan_key: jax.Array
         train_hist: dict                   # key -> (members, E)
         valid_hist: dict
 
     def one_epoch(c: Carry) -> Carry:
-        idx_e = epoch_plan(c.epoch)  # (members, n_batches, B)
+        idx_e = epoch_plan(c.plan_key, c.epoch)  # (members, n_batches, B)
 
         def scan_step(carry, idx_b):
             params, opt_state = carry
@@ -220,22 +220,25 @@ def train_ensemble(
         else:
             valid_hist, stop = c.valid_hist, c.stop
 
-        return Carry(params, opt_state, stop, c.epoch + 1,
+        return Carry(params, opt_state, stop, c.epoch + 1, c.plan_key,
                      train_hist, valid_hist)
 
     @jax.jit
-    def train_all(params, opt_state):
+    def train_all(params, opt_state, plan_key):
+        # plan_key is an ARGUMENT, not a closure constant — otherwise every
+        # seed in a sweep would recompile the whole program
         hist = lambda: {k: jnp.full((n_members, max_epochs), jnp.nan)
                         for k in metric_keys}
         init = Carry(params, opt_state,
                      jnp.zeros(n_members, dtype=bool),
-                     jnp.asarray(0, jnp.int32), hist(), hist())
+                     jnp.asarray(0, jnp.int32), plan_key, hist(), hist())
         out = jax.lax.while_loop(
             lambda c: (c.epoch < max_epochs) & ~jnp.all(c.stop),
             one_epoch, init)
         return out
 
-    out = jax.block_until_ready(train_all(state.params, state.opt_state))
+    out = jax.block_until_ready(train_all(
+        state.params, state.opt_state, jax.random.fold_in(rng, 1)))
     epochs_done = int(out.epoch)
     logger.info('warmstart finished after %d epoch(s)', epochs_done)
 
