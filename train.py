@@ -69,6 +69,8 @@ def main(argv=None) -> int:
 
     from mile_tpu.config import Config
 
+    if not os.path.exists(args.config):
+        parser.error(f'config not found: {args.config}')
     configs = Config.from_file(args.config)
     if args.search_tree:
         configs = [v for c in configs
