@@ -12,11 +12,24 @@ from __future__ import annotations
 
 import argparse
 import pickle
+import re
 from pathlib import Path
 
 import numpy as np
 import pandas as pd
 import yaml
+
+TIME_RE = re.compile(r'(time\.\w+) took ([0-9.]+) seconds')
+
+
+def parse_times(log_path: Path) -> dict:
+    """Parse ``time.X took Ys`` lines (self-contained — this script must
+    run without the package on sys.path)."""
+    times: dict = {}
+    if log_path.exists():
+        for match in TIME_RE.finditer(log_path.read_text()):
+            times[match.group(1)] = float(match.group(2))
+    return times
 
 
 def flatten_config(cfg: dict, prefix: str = '') -> dict:
@@ -54,8 +67,6 @@ def collect_experiment(exp_dir: Path) -> dict | None:
         for col in ('ess', 'bcv', 'wcv', 'split_rhat'):
             if col in diag:
                 row[f'mean_{col}'] = float(diag[col].mean())
-
-    from mile_tpu.inference.reporting import parse_times
 
     row.update(parse_times(exp_dir / 'training.log'))
     return row
