@@ -233,10 +233,12 @@ def mclmc_tune(
                 L=jnp.sqrt(1.0 * dim),
             )
             # short ε re-adjustment with the new preconditioner
+            # (streaming stays OFF, matching the reference's masked run,
+            # warmup.py:397-401)
             readjust = t2 // 3
             if readjust > 0:
                 keys_r = jax.random.split(adjust_key, readjust)
-                out, _ = run_steps(state, params, jnp.ones(readjust),
+                out, _ = run_steps(state, params, jnp.zeros(readjust),
                                    keys_r, 0)
                 state, params = out.state, out.params
         else:

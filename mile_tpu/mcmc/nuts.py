@@ -192,13 +192,16 @@ def build_kernel(logdensity_fn: Callable, max_depth: int = 10,
             return (t.depth < max_depth) & ~t.turning & ~t.diverging
 
         def body(t: _TreeCarry):
-            rng, key_dir, key_bias = jax.random.split(t.rng, 3)
+            # four distinct keys: carry, direction, bias swap, subtree —
+            # the subtree key must NOT be the carried key, or its internal
+            # splits would collide with the next doubling's draws
+            rng, key_dir, key_bias, key_sub = jax.random.split(t.rng, 4)
             go_right = jax.random.bernoulli(key_dir)
             direction = jnp.where(go_right, 1.0, -1.0)
             frontier = jax.tree.map(
                 lambda r, l: jnp.where(go_right, r, l), t.right, t.left)
 
-            sub = build_subtree(rng, frontier, direction, t.depth)
+            sub = build_subtree(key_sub, frontier, direction, t.depth)
             sub_ok = ~sub.turning & ~sub.diverging
 
             # biased progressive sampling between tree and new subtree
