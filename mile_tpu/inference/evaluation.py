@@ -139,6 +139,19 @@ def evaluate_bde(
     per_chain = [float(M.lppd(M.pointwise_lppd(p, y, task))) for p in preds]
     metrics_dict['lppd_per_chain'] = per_chain
 
+    # function-space mixing diagnostics: R-hat/ESS over the predictive
+    # mean (class-0 logit for classification). For multimodal BNN weight
+    # posteriors, function-space mixing is the operative convergence
+    # measure (weight-space R-hat is expected to be large when chains sit
+    # in different modes — see the MILE paper's diagnostics discussion).
+    fs = preds[ok, ..., 0]
+    n_even = fs.shape[1] - (fs.shape[1] % 4)
+    if n_even >= 8 and fs.shape[0] > 1:
+        metrics_dict['fs_split_rhat'] = float(jnp.nanmean(
+            M.gelman_split_r_hat(fs[:, :n_even], n_splits=4)))
+        metrics_dict['fs_ess'] = float(jnp.nanmean(
+            M.pooled_effective_sample_size(fs[:, :n_even])))
+
     point = sample_from_predictions(preds, task, rng_key)
     if task == Task.REGRESSION:
         mean_pred = preds[ok, ..., 0].mean(axis=(0, 1))

@@ -235,6 +235,17 @@ def generate_report(exp_dir: str | Path, config=None) -> Path:
     except FileNotFoundError:
         logger.info('no samples found; skipping diagnostics section')
 
+    warmup_dir = exp_dir / 'warmup_samples'
+    if warmup_dir.exists():
+        try:
+            from mile_tpu import viz
+
+            trace = ckpt.load_flat_samples(warmup_dir)
+            sections += ['<h2>Warmup adaptation trajectory (thinned)</h2>',
+                         _embed_figure(viz.plot_param_movement(trace))]
+        except Exception:
+            logger.exception('warmup trace plot failed')
+
     wp = exp_dir / 'warmup_params.txt'
     if wp.exists():
         eps, L = ckpt.load_warmup_params(wp)
