@@ -120,6 +120,7 @@ class BDETrainer:
         scfg = self.config.training.sampler
 
         sink = None
+        native_sink = None
         if scfg.stream_samples:
             # reference-parity per-draw layout: samples/{chain}/sample_{n}.npz
             def sink(chunk, start):
@@ -128,6 +129,16 @@ class BDETrainer:
                         ckpt.save_samples_streaming(
                             self.samples_dir, c, start + j,
                             self.bayes.unravel(jnp.asarray(chunk[c, j])))
+        elif not scfg.partition_sampling and not scfg.params_frozen:
+            # default: persist chunks concurrently on the native C++
+            # writer thread (draws hit disk as sampling progresses; the
+            # final save below is then skipped)
+            from mile_tpu.native import NativeSampleSink, native_available
+
+            if native_available():
+                native_sink = NativeSampleSink(
+                    self.samples_dir, self.n_chains, self.bayes.dim)
+                sink = native_sink
 
         with measure_time('time.sampling'):
             if scfg.partition_sampling or scfg.params_frozen:
@@ -151,7 +162,10 @@ class BDETrainer:
                     logdensity, scfg, self._key_sample, positions, self.mesh,
                     sample_sink=sink)
 
-        ckpt.save_samples(self.samples_dir, result.samples)
+        if native_sink is not None:
+            native_sink.close()  # drain the writer queue; files complete
+        else:
+            ckpt.save_samples(self.samples_dir, result.samples)
         ckpt.save_treedef(self.samples_dir, jax.tree.structure(self._template))
         if 'warmup_trace' in result.info:
             ckpt.save_samples(self.exp_dir / 'warmup_samples',

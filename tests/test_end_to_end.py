@@ -80,7 +80,9 @@ def test_artifacts_written(run):
     assert (d / 'config.yaml').exists()
     assert (d / 'warmstart' / 'params_0.npz').exists()
     assert (d / 'warmstart' / 'tree').exists()
-    assert (d / 'samples' / 'chain_0' / 'samples.npy').exists()
+    chain0 = d / 'samples' / 'chain_0'
+    assert ((chain0 / 'samples.npy').exists()
+            or (chain0 / 'samples.bin').exists())  # native-sink layout
     assert (d / 'warmup_params.txt').exists()
     assert (d / 'metrics.pkl').exists()
     assert (d / 'report.html').exists()
