@@ -14,9 +14,18 @@ keep those updates in VMEM in a single pass each:
   real cost at small model sizes.
 
 Both operate on a (dim,) vector padded to lane multiples; a mask keeps
-the padding inert. ``jax.vmap`` lifts the chain axis. Pure-JAX fallbacks
-(the reference-parity implementations in :mod:`mile_tpu.mcmc.integrators`)
-are used on non-TPU backends.
+the padding inert. Pure-JAX fallbacks (the reference-parity
+implementations in :mod:`mile_tpu.mcmc.integrators`) are used on non-TPU
+backends.
+
+MEASURED GUIDANCE (v5e, 2026-08): these kernels are OPT-IN
+(``integrator='mclachlan_pallas'``) and only pay off single-chain at
+very large dims — un-vmapped, dim=1M: pallas 0.38 ms/step vs XLA
+0.47 ms/step (+21%). Under ``vmap`` (the framework's multi-chain
+sampling path) XLA wins decisively at every size tested (29× at 4×1M:
+vmap runs the pallas_call per-chain while XLA fuses the whole chain
+batch, which can stay VMEM-resident across scan steps). Default
+everywhere: the XLA path.
 """
 from __future__ import annotations
 
