@@ -65,9 +65,17 @@ class Config(BaseConfig):
     def _setup_logging(self, exp_dir: Path) -> None:
         root = logging.getLogger()
         root.setLevel(logging.INFO)
+        # one experiment log at a time: drop the previous experiment's file
+        # handler, or grid runs in one process cross-contaminate logs (and
+        # the report's time parsing reads another experiment's values)
+        for h in list(root.handlers):
+            if getattr(h, '_mile_tpu_experiment_log', False):
+                root.removeHandler(h)
+                h.close()
         fmt = logging.Formatter('%(asctime)s %(levelname)s %(name)s: %(message)s')
         fh = logging.FileHandler(exp_dir / 'training.log')
         fh.setFormatter(fmt)
+        fh._mile_tpu_experiment_log = True
         root.addHandler(fh)
 
     def get_model(self):

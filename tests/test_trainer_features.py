@@ -119,3 +119,19 @@ def test_warmstart_disabled_random_inits(tmp_path):
     # all members; some kernel leaf must differ)
     assert any(
         not np.allclose(np.asarray(x[0]), np.asarray(x[1])) for x in leaves)
+
+
+def test_grid_logs_do_not_cross_contaminate(tmp_path):
+    """Two sequential experiments in one process each get their own
+    training.log (file handlers must not accumulate)."""
+    t1 = BDETrainer(_cfg(tmp_path, 'log_a').replace(logging=True))
+    t1.train_warmstart()
+    t2 = BDETrainer(_cfg(tmp_path, 'log_b').replace(logging=True))
+    t2.train_warmstart()
+    log_a = (t1.exp_dir / 'training.log').read_text()
+    log_b = (t2.exp_dir / 'training.log').read_text()
+    # the first log must contain NO lines emitted after the second
+    # experiment started
+    assert 'log_b' not in log_a
+    assert log_a.count('time.warmstart took') == 1
+    assert log_b.count('time.warmstart took') == 1
