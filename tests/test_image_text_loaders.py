@@ -97,3 +97,17 @@ def test_build_loader_dispatch(image_npz, text_csv):
         DataConfig(path=str(text_csv), data_type=DatasetType.TEXT,
                    task=Task.CLASSIFICATION), jax.random.PRNGKey(0))
     assert isinstance(txt, TextLoader)
+
+
+def test_torchvision_gated_error():
+    cfg = DataConfig(path='MNIST', source='torchvision',
+                     data_type=DatasetType.IMAGE, task=Task.CLASSIFICATION)
+    with pytest.raises(ImportError, match='torchvision'):
+        ImageLoader(cfg, jax.random.PRNGKey(0))
+
+
+def test_config_json_roundtrip(tmp_path):
+    cfg = DataConfig(path='data/airfoil.data')
+    p = tmp_path / 'cfg.json'
+    cfg.to_json(p)
+    assert DataConfig.from_json(p) == cfg
