@@ -149,6 +149,11 @@ def evaluate_bde(
     if n_even >= 8 and fs.shape[0] > 1:
         metrics_dict['fs_split_rhat'] = float(jnp.nanmean(
             M.gelman_split_r_hat(fs[:, :n_even], n_splits=4)))
+        # per-chain ESS: within-chain decorrelation (what matters for an
+        # ensemble of chains pooled by logmeanexp); the pooled multi-chain
+        # estimator would mostly measure between-mode disagreement
+        metrics_dict['fs_ess_per_chain'] = float(jnp.nanmean(
+            M.effective_sample_size(fs[:, :n_even])))
         metrics_dict['fs_ess'] = float(jnp.nanmean(
             M.pooled_effective_sample_size(fs[:, :n_even])))
 
