@@ -9,6 +9,10 @@ minibatches of a member-vmapped SGD step, with the member axis sharded
 over the ``chains`` mesh axis. The host uploads a precomputed index plan
 (per-member batch permutations, reference semantics of per-device splits)
 and downloads the final parameters + metric histories once.
+
+Train metrics are recorded per minibatch STEP from each step's own
+forward pass (reference trainer.py:438-457); validation metrics per
+epoch (reference trainer.py:462-501).
 """
 from __future__ import annotations
 
@@ -165,15 +169,21 @@ def train_ensemble(
         x, y = x_all[row_ids], y_all[row_ids]
 
         def lf(p):
-            return loss_fn(module.apply({'params': p}, x), y)
+            lvals = module.apply({'params': p}, x)
+            return loss_fn(lvals, y), lvals
 
-        loss, grads = jax.value_and_grad(lf)(params)
+        (_, lvals), grads = jax.value_and_grad(lf, has_aux=True)(params)
         updates, new_opt = tx.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
         keep = lambda new, old: jax.tree.map(
             lambda a, b: jnp.where(stop, b, a), new, old)
+        # per-STEP minibatch metrics from the step's own forward pass
+        # (pre-update logits, reference trainer.py:438-457)
+        m = metrics_fn(lvals, y, 0)
+        batch_metrics = {k: jnp.where(stop, jnp.nan, getattr(m, k))
+                         for k in metric_keys}
         return keep(new_params, params), keep(new_opt, opt_state), \
-            jnp.where(stop, jnp.nan, loss)
+            batch_metrics
 
     def eval_members(params, x, y, epoch):
         return jax.vmap(
@@ -186,27 +196,26 @@ def train_ensemble(
         stop: jnp.ndarray                  # (members,) bool
         epoch: jnp.ndarray
         plan_key: jax.Array
-        train_hist: dict                   # key -> (members, E)
-        valid_hist: dict
+        train_hist: dict                   # key -> (members, E·n_batches)
+        valid_hist: dict                   # key -> (members, E)
 
     def one_epoch(c: Carry) -> Carry:
         idx_e = epoch_plan(c.plan_key, c.epoch)  # (members, n_batches, B)
 
         def scan_step(carry, idx_b):
             params, opt_state = carry
-            params, opt_state, loss = jax.vmap(
+            params, opt_state, bm = jax.vmap(
                 member_step, in_axes=(0, 0, 0, 0)
             )(params, opt_state, c.stop, idx_b)
-            return (params, opt_state), loss
+            return (params, opt_state), bm
 
-        (params, opt_state), _ = jax.lax.scan(
+        (params, opt_state), batch_m = jax.lax.scan(
             scan_step, (c.params, c.opt_state),
-            jnp.swapaxes(idx_e, 0, 1))
+            jnp.swapaxes(idx_e, 0, 1))  # batch_m: key -> (n_batches, members)
 
-        tm = eval_members(params, x_all, y_all, c.epoch)
         train_hist = {
-            k: c.train_hist[k].at[:, c.epoch].set(
-                jnp.where(c.stop, jnp.nan, getattr(tm, k)))
+            k: jax.lax.dynamic_update_slice(
+                c.train_hist[k], batch_m[k].T, (0, c.epoch * n_batches))
             for k in metric_keys}
 
         if has_valid:
@@ -227,11 +236,12 @@ def train_ensemble(
     def train_all(params, opt_state, plan_key):
         # plan_key is an ARGUMENT, not a closure constant — otherwise every
         # seed in a sweep would recompile the whole program
-        hist = lambda: {k: jnp.full((n_members, max_epochs), jnp.nan)
-                        for k in metric_keys}
+        hist = lambda cols: {k: jnp.full((n_members, cols), jnp.nan)
+                             for k in metric_keys}
         init = Carry(params, opt_state,
                      jnp.zeros(n_members, dtype=bool),
-                     jnp.asarray(0, jnp.int32), plan_key, hist(), hist())
+                     jnp.asarray(0, jnp.int32), plan_key,
+                     hist(max_epochs * n_batches), hist(max_epochs))
         out = jax.lax.while_loop(
             lambda c: (c.epoch < max_epochs) & ~jnp.all(c.stop),
             one_epoch, init)
@@ -242,16 +252,16 @@ def train_ensemble(
     epochs_done = int(out.epoch)
     logger.info('warmstart finished after %d epoch(s)', epochs_done)
 
-    def to_metrics(hist: dict) -> 'metrics_cls':
-        if epochs_done == 0:
+    def to_metrics(hist: dict, cols: int) -> 'metrics_cls':
+        if cols == 0:
             return metrics_cls.empty()
-        step = jnp.tile(jnp.arange(epochs_done), (n_members, 1))
+        step = jnp.tile(jnp.arange(cols), (n_members, 1))
         return metrics_cls(step=step, **{
-            k: hist[k][:, :epochs_done] for k in metric_keys})
+            k: hist[k][:, :cols] for k in metric_keys})
 
     store = MetricsStore(
-        train=to_metrics(out.train_hist),
-        valid=to_metrics(out.valid_hist) if has_valid
+        train=to_metrics(out.train_hist, epochs_done * n_batches),
+        valid=to_metrics(out.valid_hist, epochs_done) if has_valid
         else metrics_cls.empty(),
         test=(eval_members(out.params, *loader.arrays('test'), 0)
               if loader.arrays('test')[0].shape[0] > 0
