@@ -133,6 +133,22 @@ class BayesianModel:
 
         return logdensity
 
+    def shard_potential_fn(self, x_shards, y_shards, **kwargs) -> Callable:
+        """``U_j(theta)`` for :mod:`mile_tpu.mcmc.split_hmc`.
+
+        ``x_shards``/``y_shards``: device-resident stacked shards with
+        leading axis M. Satisfies ``Σ_j U_j = -log_posterior`` on the
+        sharded data (the prior is spread 1/M per shard)."""
+        n_shards = x_shards.shape[0]
+
+        def shard_potential(theta: jnp.ndarray, j) -> jnp.ndarray:
+            xb = jax.lax.dynamic_index_in_dim(x_shards, j, keepdims=False)
+            yb = jax.lax.dynamic_index_in_dim(y_shards, j, keepdims=False)
+            return -(self.log_likelihood(theta, xb, yb, **kwargs)
+                     + self.log_prior(theta) / n_shards)
+
+        return shard_potential
+
     # ---------------------------------------------------------- pytree API
     def log_unnormalized_posterior(self, position, x, y, **kwargs) -> jnp.ndarray:
         """Pytree-position flavour (reference API parity)."""

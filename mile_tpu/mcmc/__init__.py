@@ -1,5 +1,5 @@
 """Native MCMC core: kernels, integrators, adaptation, diagnostics."""
-from mile_tpu.mcmc import hmc, mclmc, nuts  # noqa: F401
+from mile_tpu.mcmc import hmc, mclmc, nuts, split_hmc  # noqa: F401
 from mile_tpu.mcmc.diagnostics import (  # noqa: F401
     autocovariance,
     effective_sample_size,
