@@ -56,20 +56,28 @@ def build_kernel(
     values and may be per-chain under vmap, so independently tuned chains
     run in one program (the reference gets per-chain params via pmap).
     """
-    if integrator == 'mclachlan_pallas':
+    use_pallas = integrator == 'mclachlan_pallas'
+    if use_pallas:
         from mile_tpu.mcmc.integrators import isokinetic_integrator_pallas
+        from mile_tpu.ops.isokinetic import fused_refresh
 
         integrator_step = isokinetic_integrator_pallas(logdensity_fn)
+
+        def refresh(momentum, rng_key, step_size, L):
+            # on-chip TPU PRNG, seeded from the step's threefry key
+            data = jax.random.key_data(rng_key)
+            seed = (data[0] ^ data[-1]).astype(jnp.int32)
+            return fused_refresh(momentum, seed, step_size, L)
     else:
         make = (isokinetic_mclachlan if integrator == 'mclachlan'
                 else isokinetic_leapfrog)
         integrator_step = make(logdensity_fn)
+        refresh = partially_refresh_momentum
 
     def step(rng_key, state: MCLMCState, L, step_size,
              sqrt_diag_cov: jnp.ndarray | float = 1.0):
         new_state, kinetic_change = integrator_step(state, step_size, sqrt_diag_cov)
-        momentum = partially_refresh_momentum(
-            new_state.momentum, rng_key, step_size, L)
+        momentum = refresh(new_state.momentum, rng_key, step_size, L)
         new_state = new_state._replace(momentum=momentum)
         energy_change = (
             kinetic_change - new_state.logdensity + state.logdensity
