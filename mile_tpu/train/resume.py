@@ -1,0 +1,124 @@
+"""Mid-chain sampler checkpoint/resume.
+
+The reference has NO mid-chain resume — a killed sampling run keeps the
+draws streamed so far but must restart the chain (and its warmup) from
+scratch (SURVEY §5.4; reference sampling.py streams per-draw .npz but
+never persists sampler state). Here the chunked-egress loop of
+:func:`mile_tpu.train.sampling.run_mclmc` doubles as a checkpoint
+boundary: after every drained chunk we atomically persist
+
+- the full sampler state (position, momentum, logdensity, grad),
+- the per-chain RNG keys (as raw key data) and tuned hyperparameters,
+- the kept-draw counter and the drained chunks themselves,
+
+so a preempted run resumes exactly where it stopped — skipping warmup —
+and produces draws BIT-IDENTICAL to an uninterrupted run (the RNG
+stream is replayed from the restored keys; test_sampler_resume.py
+asserts equality). This is elastic recovery for long TPU sampling jobs
+at near-zero cost (one host copy of state per chunk, overlapped with
+device compute like the sample egress itself).
+"""
+from __future__ import annotations
+
+import json
+import logging
+import os
+from pathlib import Path
+
+import jax
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+_SNAPSHOT = 'sampler_state.npz'
+_META = 'sampler_meta.json'
+
+
+class SamplerCheckpoint:
+    """Atomic snapshot + drained-chunk store under one directory."""
+
+    def __init__(self, directory: str | Path, fingerprint: dict):
+        self.dir = Path(directory)
+        self.dir.mkdir(parents=True, exist_ok=True)
+        # every value participating in determinism must be in the
+        # fingerprint — resuming under a different config is an error
+        self.fingerprint = {k: (v.tolist() if isinstance(v, np.ndarray)
+                                else v) for k, v in fingerprint.items()}
+
+    # ------------------------------------------------------------- save
+    def save(self, state_leaves: dict, key_data: np.ndarray,
+             tuned: dict, kept_done: int) -> None:
+        """Atomically overwrite the snapshot (tmp + rename)."""
+        arrays = {f'state_{k}': np.asarray(v)
+                  for k, v in state_leaves.items()}
+        arrays['key_data'] = np.asarray(key_data)
+        arrays.update({f'tuned_{k}': np.asarray(v)
+                       for k, v in tuned.items()})
+        tmp = self.dir / (_SNAPSHOT + '.tmp')
+        with open(tmp, 'wb') as f:
+            np.savez(f, **arrays)
+        os.replace(tmp, self.dir / _SNAPSHOT)
+        meta = {'fingerprint': self.fingerprint, 'kept_done': int(kept_done)}
+        tmp = self.dir / (_META + '.tmp')
+        tmp.write_text(json.dumps(meta))
+        os.replace(tmp, self.dir / _META)
+
+    def save_chunk(self, index: int, positions: np.ndarray,
+                   energy: np.ndarray) -> None:
+        tmp = self.dir / f'chunk_{index:06d}.npz.tmp'
+        with open(tmp, 'wb') as f:
+            np.savez(f, positions=positions, energy=energy)
+        os.replace(tmp, self.dir / f'chunk_{index:06d}.npz')
+
+    # ------------------------------------------------------------- load
+    def load(self):
+        """Return (state_leaves, key_data, tuned, kept_done) or None."""
+        meta_path = self.dir / _META
+        snap_path = self.dir / _SNAPSHOT
+        if not (meta_path.exists() and snap_path.exists()):
+            return None
+        meta = json.loads(meta_path.read_text())
+        if meta.get('fingerprint') != self.fingerprint:
+            logger.warning(
+                'sampler checkpoint at %s belongs to a different run '
+                '(fingerprint mismatch) — ignoring it', self.dir)
+            return None
+        with np.load(snap_path) as d:
+            state = {k[len('state_'):]: d[k] for k in d.files
+                     if k.startswith('state_')}
+            tuned = {k[len('tuned_'):]: d[k] for k in d.files
+                     if k.startswith('tuned_')}
+            key_data = d['key_data']
+        logger.info('resuming sampler from %s at %d kept draws',
+                    self.dir, meta['kept_done'])
+        return state, key_data, tuned, int(meta['kept_done'])
+
+    def load_chunks(self) -> tuple[list, list]:
+        """Drained chunks of the interrupted run, in order."""
+        host_chunks, energy_chunks = [], []
+        for p in sorted(self.dir.glob('chunk_*.npz')):
+            with np.load(p) as d:
+                host_chunks.append(d['positions'])
+                energy_chunks.append(d['energy'])
+        return host_chunks, energy_chunks
+
+    # ---------------------------------------------------------- cleanup
+    def clear(self) -> None:
+        """Remove snapshot + chunks after a successful run (the draws
+        live in the experiment's samples/ dir from here on)."""
+        for p in self.dir.glob('chunk_*.npz'):
+            p.unlink()
+        for name in (_SNAPSHOT, _META):
+            (self.dir / name).unlink(missing_ok=True)
+        try:
+            self.dir.rmdir()
+        except OSError:
+            pass  # directory not empty (foreign files) — leave it
+
+
+def key_data_of(keys: jax.Array) -> np.ndarray:
+    return np.asarray(jax.random.key_data(keys))
+
+
+def keys_from_data(data: np.ndarray) -> jax.Array:
+    return jax.random.wrap_key_data(jax.numpy.asarray(data))

@@ -107,6 +107,7 @@ def run_mclmc(
     max_chunk_bytes: int = 1 << 30,
     sample_sink: Optional[Callable] = None,
     chain_aux=None,
+    checkpoint_dir=None,
 ) -> SamplingResult:
     """Full MCLMC pipeline: warmup then ``n_samples`` kernel steps per
     chain, keeping every ``n_thinning``-th position.
@@ -114,16 +115,18 @@ def run_mclmc(
     ``sample_sink(chunk, start_index)`` (optional) receives each host chunk
     of shape (n_chains, chunk_kept, dim) as it becomes available — IO
     overlaps the next chunk's device compute.
+
+    ``checkpoint_dir`` (optional) enables mid-chain resume: sampler state
+    and drained chunks are persisted per chunk, and a re-invocation with
+    the same arguments continues where the previous run stopped, skipping
+    warmup and reproducing the uninterrupted run's draws bit-for-bit
+    (the reference cannot resume a chain — SURVEY §5.4). On a resumed
+    run the sink re-receives only the not-yet-drained chunks; sinks must
+    be idempotent by ``start_index``. ``keep_warmup`` traces are not
+    replayed across a resume.
     """
     n_chains, dim = init_positions.shape
     warmup_key, sample_key = jax.random.split(rng_key)
-
-    logger.info('> starting MCLMC warmup (%d chains, %d steps)...',
-                n_chains, cfg.warmup_steps)
-    states, params, warmup_trace = warmup_mclmc(
-        logdensity_fn, cfg, warmup_key, init_positions, mesh, chain_aux)
-    logger.info('> warmup done: step_size=%s L=%s',
-                np.asarray(params.step_size), np.asarray(params.L))
 
     thin = cfg.n_thinning
     n_kept = math.ceil(cfg.n_samples / thin)
@@ -132,6 +135,44 @@ def run_mclmc(
     bytes_per_kept = n_chains * dim * 4
     chunk_kept = max(1, min(n_kept, max_chunk_bytes // max(bytes_per_kept, 1)))
     n_chunks = math.ceil(n_kept / chunk_kept)
+
+    ckpt_mgr = None
+    resumed = None
+    if checkpoint_dir is not None:
+        from mile_tpu.mcmc.adaptation.mclmc_tuning import MCLMCTuningParams
+        from mile_tpu.train.resume import SamplerCheckpoint, key_data_of, \
+            keys_from_data
+
+        ckpt_mgr = SamplerCheckpoint(checkpoint_dir, fingerprint={
+            'n_chains': n_chains, 'dim': dim, 'n_samples': cfg.n_samples,
+            'n_thinning': thin, 'chunk_kept': chunk_kept,
+            'use_warmup_as_init': cfg.use_warmup_as_init,
+            'rng': key_data_of(rng_key).tolist(),
+        })
+        resumed = ckpt_mgr.load()
+
+    warmup_trace = None
+    if resumed is not None:
+        state_leaves, key_data, tuned_arrays, kept_done = resumed
+        states = mclmc.MCLMCState(
+            jnp.asarray(state_leaves['position']),
+            jnp.asarray(state_leaves['momentum']),
+            jnp.asarray(state_leaves['logdensity']),
+            jnp.asarray(state_leaves['logdensity_grad']))
+        params = MCLMCTuningParams(
+            L=jnp.asarray(tuned_arrays['L']),
+            step_size=jnp.asarray(tuned_arrays['step_size']),
+            sqrt_diag_cov=jnp.asarray(tuned_arrays['sqrt_diag_cov']))
+        restored_keys = keys_from_data(key_data)
+    else:
+        logger.info('> starting MCLMC warmup (%d chains, %d steps)...',
+                    n_chains, cfg.warmup_steps)
+        states, params, warmup_trace = warmup_mclmc(
+            logdensity_fn, cfg, warmup_key, init_positions, mesh, chain_aux)
+        logger.info('> warmup done: step_size=%s L=%s',
+                    np.asarray(params.step_size), np.asarray(params.L))
+        kept_done = 0
+        restored_keys = None
 
     def chain_block(key, state, L, step_size, sqrt_diag_cov, aux, n_block):
         """One chain: n_block kept draws (thin kernel steps each)."""
@@ -161,25 +202,34 @@ def run_mclmc(
         if chain_aux is not None:
             chain_aux = shard_chains(chain_aux, mesh)
 
-    chain_keys = jax.random.split(sample_key, n_chains)
-    if mesh is not None:
-        chain_keys = shard_chains(chain_keys, mesh)
-
     logger.info('> starting MCLMC sampling: %d kept draws x %d chains '
                 '(%d chunks)...', n_kept, n_chains, n_chunks)
     host_chunks, energy_chunks = [], []
     state = states
-    if not cfg.use_warmup_as_init:
-        # restart chains at the original (warmstart) weights, keeping the
-        # tuned hyperparameters (config flag parity: sampler.py:131-136)
-        reinit = jax.jit(jax.vmap(
-            lambda p, k, aux: mclmc.init(p, _bind(logdensity_fn, aux), k),
-            in_axes=(0, 0, aux_axis)))
-        state = reinit(init_positions, chain_keys, chain_aux)
+    if resumed is not None:
+        chain_keys = restored_keys
+        if mesh is not None:
+            chain_keys = shard_chains(chain_keys, mesh)
+        host_chunks, energy_chunks = ckpt_mgr.load_chunks()
+    else:
+        chain_keys = jax.random.split(sample_key, n_chains)
+        if mesh is not None:
+            chain_keys = shard_chains(chain_keys, mesh)
+        if not cfg.use_warmup_as_init:
+            # restart chains at the original (warmstart) weights, keeping
+            # the tuned hyperparameters (flag parity: sampler.py:131-136)
+            reinit = jax.jit(jax.vmap(
+                lambda p, k, aux: mclmc.init(p, _bind(logdensity_fn, aux), k),
+                in_axes=(0, 0, aux_axis)))
+            state = reinit(init_positions, chain_keys, chain_aux)
+        if ckpt_mgr is not None:
+            # post-warmup snapshot: a crash inside chunk 0 resumes here
+            # without re-tuning
+            _snapshot(ckpt_mgr, state, chain_keys, params, 0)
 
-    kept_done = 0
+    start_chunk = kept_done // chunk_kept
     pending = None  # overlap device compute with host transfer
-    for chunk in range(n_chunks):
+    for chunk in range(start_chunk, n_chunks):
         block = min(chunk_kept, n_kept - kept_done)
         chain_keys = jax.vmap(jax.random.fold_in)(
             chain_keys, jnp.full(n_chains, chunk, dtype=jnp.uint32))
@@ -187,12 +237,18 @@ def run_mclmc(
             chain_keys, state, params.L, params.step_size,
             params.sqrt_diag_cov, chain_aux, block)
         if pending is not None:
-            _drain(pending, host_chunks, energy_chunks, sample_sink)
-        # (chains, block, dim) already chain-major
-        pending = (positions, de, kept_done)
+            _drain(pending, host_chunks, energy_chunks, sample_sink,
+                   ckpt_mgr, params)
+        # (chains, block, dim) already chain-major; the carry (state,
+        # keys) as of THIS chunk rides along for the resume snapshot
+        pending = (positions, de, kept_done, state, chain_keys, chunk,
+                   kept_done + block)
         kept_done += block
-    _drain(pending, host_chunks, energy_chunks, sample_sink)
+    _drain(pending, host_chunks, energy_chunks, sample_sink, ckpt_mgr,
+           params)
     jax.block_until_ready(state)
+    if ckpt_mgr is not None:
+        ckpt_mgr.clear()  # run complete — draws live in the result
 
     samples = np.concatenate(host_chunks, axis=1)
     energy = np.concatenate(energy_chunks, axis=1)
@@ -209,12 +265,44 @@ def run_mclmc(
     return SamplingResult(samples, tuned, info, state)
 
 
-def _drain(pending, host_chunks, aux_chunks, sample_sink):
+def _snapshot(ckpt_mgr, state, chain_keys, params, kept_done):
+    from mile_tpu.train import resume
+
+    ckpt_mgr.save(
+        state_leaves={
+            'position': jax.device_get(state.position),
+            'momentum': jax.device_get(state.momentum),
+            'logdensity': jax.device_get(state.logdensity),
+            'logdensity_grad': jax.device_get(state.logdensity_grad),
+        },
+        key_data=resume.key_data_of(chain_keys),
+        tuned={'L': np.asarray(params.L),
+               'step_size': np.asarray(params.step_size),
+               'sqrt_diag_cov': np.asarray(params.sqrt_diag_cov)},
+        kept_done=kept_done)
+
+
+def _drain(pending, host_chunks, aux_chunks, sample_sink,
+           ckpt_mgr=None, params=None):
     """Move a finished device chunk to host; aux may be any pytree."""
-    positions, aux, start = pending
+    if pending is None:
+        return
+    if len(pending) == 3:  # HMC/NUTS runtime: no resume support (yet)
+        positions, aux, start = pending
+        state = chain_keys = chunk_idx = done = None
+        ckpt_mgr = None
+    else:
+        positions, aux, start, state, chain_keys, chunk_idx, done = pending
     chunk = np.asarray(jax.device_get(positions))
     host_chunks.append(chunk)
-    aux_chunks.append(jax.device_get(aux))
+    energy = jax.device_get(aux)
+    aux_chunks.append(energy)
+    if ckpt_mgr is not None:
+        # persist the chunk FIRST, then the snapshot pointing past it —
+        # a crash in between resumes from the previous snapshot (the
+        # chunk file is simply overwritten)
+        ckpt_mgr.save_chunk(chunk_idx, chunk, np.asarray(energy))
+        _snapshot(ckpt_mgr, state, chain_keys, params, done)
     if sample_sink is not None:
         sample_sink(chunk, start)
 

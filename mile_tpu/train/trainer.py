@@ -53,8 +53,20 @@ class BDETrainer:
             target_len=config.data.target_len,
             tokenizer_config=config.training.tokenizer)
         self.module = config.get_model()
-        x_sample, _ = self.loader.arrays('train')
+        x_sample, y_sample = self.loader.arrays('train')
         template = self.module.init(self._key_init, x_sample[:1])['params']
+        if config.data.task == Task.CLASSIFICATION:
+            # misconfigured class counts silently produce NaN LPPDs
+            # (out-of-range labels in the categorical log-pmf) — fail loud
+            out_dim = int(self.module.apply(
+                {'params': template}, x_sample[:1]).shape[-1])
+            n_classes = int(jnp.max(y_sample)) + 1
+            if n_classes > out_dim:
+                raise ValueError(
+                    f'model outputs {out_dim} classes but the training '
+                    f'labels span {n_classes} (max label '
+                    f'{n_classes - 1}); fix the model out_dim / '
+                    f'hidden_structure')
         self.prior = sampler_cfg.prior_config.build()
         self.bayes = BayesianModel(
             self.module, template, self.prior, config.data.task,
@@ -129,7 +141,11 @@ class BDETrainer:
                         ckpt.save_samples_streaming(
                             self.samples_dir, c, start + j,
                             self.bayes.unravel(jnp.asarray(chunk[c, j])))
-        elif not scfg.partition_sampling and not scfg.params_frozen:
+        elif (not scfg.partition_sampling and not scfg.params_frozen
+              and not scfg.checkpoint_sampling):
+            # (with checkpoint_sampling the draws persist via the resume
+            # chunks + final save — the appending native sink would
+            # duplicate rows across a resume)
             # default: persist chunks concurrently on the native C++
             # writer thread (draws hit disk as sampling progresses; the
             # final save below is then skipped)
@@ -158,9 +174,12 @@ class BDETrainer:
                 result = result._replace(samples=part.merge(
                     np.asarray(positions), result.samples, mask))
             else:
+                extra = {}
+                if scfg.checkpoint_sampling and scfg.name == Sampler.MCLMC:
+                    extra['checkpoint_dir'] = self.exp_dir / 'sampler_ckpt'
                 result = run_sampler(
                     logdensity, scfg, self._key_sample, positions, self.mesh,
-                    sample_sink=sink)
+                    sample_sink=sink, **extra)
 
         if native_sink is not None:
             native_sink.close()  # drain the writer queue; files complete

@@ -135,3 +135,34 @@ def test_grid_logs_do_not_cross_contaminate(tmp_path):
     assert 'log_b' not in log_a
     assert log_a.count('time.warmstart took') == 1
     assert log_b.count('time.warmstart took') == 1
+
+
+def test_class_count_mismatch_fails_loud(tmp_path):
+    """A classification model with fewer outputs than label classes must
+    raise at trainer init (silent NaN LPPDs otherwise)."""
+    import yaml as _yaml
+
+    cfg = Config.from_dict(_yaml.safe_load(BASE.format(
+        tmp=tmp_path, name='mismatch', sampler='mclmc', warmup=200,
+        extra='')))
+    d = cfg.to_dict()
+    d['data']['path'] = 'data/heart_proc.data'   # 5 classes
+    d['data']['task'] = 'class'
+    d['model']['hidden_structure'] = [8, 2]      # 2-class head
+    cfg = Config.from_dict(d)
+    with pytest.raises(ValueError, match='classes'):
+        BDETrainer(cfg)
+
+
+def test_checkpoint_sampling_trainer_path(tmp_path):
+    """checkpoint_sampling: full pipeline runs, samples persist, and the
+    sampler checkpoint is cleaned up on success."""
+    cfg = _cfg(tmp_path, 'ckpt_sampling',
+               extra='checkpoint_sampling: true')
+    trainer = BDETrainer(cfg)
+    metrics = trainer.train(report=False)
+    assert np.isfinite(metrics['lppd'])
+    assert not (trainer.exp_dir / 'sampler_ckpt' / 'sampler_state.npz'
+                ).exists()
+    assert (trainer.samples_dir / 'chain_0' / 'samples.npy').exists() or \
+        any(trainer.samples_dir.glob('chain_*/*'))
