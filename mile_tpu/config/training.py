@@ -99,7 +99,7 @@ class SamplerConfig(BaseConfig):
     # TPU-native extras (absent in reference):
     stream_samples: bool = False   # per-draw host streaming (parity mode)
     # persist sampler state per egress chunk so a preempted run resumes
-    # mid-chain without re-warmup (MCLMC only; reference cannot resume)
+    # mid-chain without re-warmup (all samplers; reference cannot resume)
     checkpoint_sampling: bool = False
     # chunk+remat the log-likelihood over observations (None = full batch);
     # bounds HBM for large image datasets at the cost of recompute

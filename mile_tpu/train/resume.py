@@ -64,10 +64,12 @@ class SamplerCheckpoint:
         os.replace(tmp, self.dir / _META)
 
     def save_chunk(self, index: int, positions: np.ndarray,
-                   energy: np.ndarray) -> None:
+                   aux: dict) -> None:
+        """``aux``: per-draw statistics (flat dict of arrays)."""
+        arrays = {f'aux_{k}': np.asarray(v) for k, v in aux.items()}
         tmp = self.dir / f'chunk_{index:06d}.npz.tmp'
         with open(tmp, 'wb') as f:
-            np.savez(f, positions=positions, energy=energy)
+            np.savez(f, positions=positions, **arrays)
         os.replace(tmp, self.dir / f'chunk_{index:06d}.npz')
 
     # ------------------------------------------------------------- load
@@ -94,13 +96,15 @@ class SamplerCheckpoint:
         return state, key_data, tuned, int(meta['kept_done'])
 
     def load_chunks(self) -> tuple[list, list]:
-        """Drained chunks of the interrupted run, in order."""
-        host_chunks, energy_chunks = [], []
+        """Drained chunks of the interrupted run, in order; aux chunks
+        come back as dicts matching what :meth:`save_chunk` received."""
+        host_chunks, aux_chunks = [], []
         for p in sorted(self.dir.glob('chunk_*.npz')):
             with np.load(p) as d:
                 host_chunks.append(d['positions'])
-                energy_chunks.append(d['energy'])
-        return host_chunks, energy_chunks
+                aux_chunks.append({k[len('aux_'):]: d[k] for k in d.files
+                                   if k.startswith('aux_')})
+        return host_chunks, aux_chunks
 
     # ---------------------------------------------------------- cleanup
     def clear(self) -> None:

@@ -225,8 +225,9 @@ def run_mclmc(
         if ckpt_mgr is not None:
             # post-warmup snapshot: a crash inside chunk 0 resumes here
             # without re-tuning
-            _snapshot(ckpt_mgr, state, chain_keys, params, 0)
+            _snapshot(ckpt_mgr, state, chain_keys, params._asdict(), 0)
 
+    tuned_dict = dict(params._asdict())
     start_chunk = kept_done // chunk_kept
     pending = None  # overlap device compute with host transfer
     for chunk in range(start_chunk, n_chunks):
@@ -238,26 +239,26 @@ def run_mclmc(
             params.sqrt_diag_cov, chain_aux, block)
         if pending is not None:
             _drain(pending, host_chunks, energy_chunks, sample_sink,
-                   ckpt_mgr, params)
+                   ckpt_mgr, tuned_dict)
         # (chains, block, dim) already chain-major; the carry (state,
         # keys) as of THIS chunk rides along for the resume snapshot
-        pending = (positions, de, kept_done, state, chain_keys, chunk,
-                   kept_done + block)
+        pending = (positions, {'energy_change': de}, kept_done, state,
+                   chain_keys, chunk, kept_done + block)
         kept_done += block
     _drain(pending, host_chunks, energy_chunks, sample_sink, ckpt_mgr,
-           params)
+           tuned_dict)
     jax.block_until_ready(state)
     if ckpt_mgr is not None:
         ckpt_mgr.clear()  # run complete — draws live in the result
 
     samples = np.concatenate(host_chunks, axis=1)
-    energy = np.concatenate(energy_chunks, axis=1)
     tuned = {
         'step_size': np.asarray(params.step_size),
         'L': np.asarray(params.L),
         'sqrt_diag_cov': np.asarray(params.sqrt_diag_cov),
     }
-    info = {'energy_change': energy}
+    info = {k: np.concatenate([c[k] for c in energy_chunks], axis=1)
+            for k in energy_chunks[0]}
     if warmup_trace is not None:
         # (chains, kept_warmup, dim) thinned adaptation trajectory
         info['warmup_trace'] = np.asarray(jax.device_get(warmup_trace))
@@ -265,44 +266,35 @@ def run_mclmc(
     return SamplingResult(samples, tuned, info, state)
 
 
-def _snapshot(ckpt_mgr, state, chain_keys, params, kept_done):
+def _snapshot(ckpt_mgr, state, chain_keys, tuned: dict, kept_done):
+    """``state`` is any NamedTuple of per-chain arrays (MCLMC/HMC/NUTS)."""
     from mile_tpu.train import resume
 
     ckpt_mgr.save(
-        state_leaves={
-            'position': jax.device_get(state.position),
-            'momentum': jax.device_get(state.momentum),
-            'logdensity': jax.device_get(state.logdensity),
-            'logdensity_grad': jax.device_get(state.logdensity_grad),
-        },
+        state_leaves={k: jax.device_get(v)
+                      for k, v in state._asdict().items()},
         key_data=resume.key_data_of(chain_keys),
-        tuned={'L': np.asarray(params.L),
-               'step_size': np.asarray(params.step_size),
-               'sqrt_diag_cov': np.asarray(params.sqrt_diag_cov)},
+        tuned={k: np.asarray(v) for k, v in tuned.items()},
         kept_done=kept_done)
 
 
 def _drain(pending, host_chunks, aux_chunks, sample_sink,
-           ckpt_mgr=None, params=None):
-    """Move a finished device chunk to host; aux may be any pytree."""
+           ckpt_mgr=None, tuned=None):
+    """Move a finished device chunk to host; ``aux`` is a flat dict of
+    per-draw statistic arrays."""
     if pending is None:
         return
-    if len(pending) == 3:  # HMC/NUTS runtime: no resume support (yet)
-        positions, aux, start = pending
-        state = chain_keys = chunk_idx = done = None
-        ckpt_mgr = None
-    else:
-        positions, aux, start, state, chain_keys, chunk_idx, done = pending
+    positions, aux, start, state, chain_keys, chunk_idx, done = pending
     chunk = np.asarray(jax.device_get(positions))
     host_chunks.append(chunk)
-    energy = jax.device_get(aux)
-    aux_chunks.append(energy)
+    aux_host = jax.device_get(aux)
+    aux_chunks.append(aux_host)
     if ckpt_mgr is not None:
         # persist the chunk FIRST, then the snapshot pointing past it —
         # a crash in between resumes from the previous snapshot (the
         # chunk file is simply overwritten)
-        ckpt_mgr.save_chunk(chunk_idx, chunk, np.asarray(energy))
-        _snapshot(ckpt_mgr, state, chain_keys, params, done)
+        ckpt_mgr.save_chunk(chunk_idx, chunk, aux_host)
+        _snapshot(ckpt_mgr, state, chain_keys, tuned, done)
     if sample_sink is not None:
         sample_sink(chunk, start)
 

@@ -33,8 +33,9 @@ def run_hmc_family(
     max_chunk_bytes: int = 1 << 30,
     sample_sink=None,
     chain_aux=None,
+    checkpoint_dir=None,
 ) -> SamplingResult:
-    from mile_tpu.train.sampling import _bind
+    from mile_tpu.train.sampling import _bind, _snapshot
 
     n_chains, dim = init_positions.shape
     warmup_key, sample_key = jax.random.split(rng_key)
@@ -46,48 +47,79 @@ def run_hmc_family(
             logdensity, num_integration_steps=cfg.num_integration_steps)
 
     chain_init = nuts.init if cfg.name == Sampler.NUTS else hmc.init
+    state_cls = nuts.NUTSState if cfg.name == Sampler.NUTS else hmc.HMCState
 
-    # ----------------------------------------------------------- warmup
-    logger.info('> starting %s window adaptation (%d chains, %d steps)...',
-                cfg.name, n_chains, cfg.warmup_steps)
-
-    from mile_tpu.train.sampling import MAX_KEPT_WARMUP
-
-    trace_every = (max(1, cfg.warmup_steps // MAX_KEPT_WARMUP)
-                   if cfg.keep_warmup else 0)
-
-    def warmup_one(position, key, aux):
-        logdensity = _bind(logdensity_fn, aux)
-        state = chain_init(position, logdensity)
-        return run_window_adaptation(
-            make_kernel(logdensity), state, key, cfg.warmup_steps,
-            initial_step_size=cfg.step_size_init if cfg.step_size_init
-            else 1.0,
-            trace_every=trace_every)
-
-    aux_axis = None if chain_aux is None else 0
-    keys = jax.random.split(warmup_key, n_chains)
-    if mesh is not None:
-        init_positions = shard_chains(init_positions, mesh)
-        keys = shard_chains(keys, mesh)
-        if chain_aux is not None:
-            chain_aux = shard_chains(chain_aux, mesh)
-    warmup_out = jax.block_until_ready(
-        jax.jit(jax.vmap(warmup_one, in_axes=(0, 0, aux_axis)))(
-            init_positions, keys, chain_aux))
-    if trace_every:
-        states, step_size, inverse_mass_matrix, warmup_trace = warmup_out
-    else:
-        states, step_size, inverse_mass_matrix = warmup_out
-        warmup_trace = None
-    logger.info('> adaptation done: step_size=%s', np.asarray(step_size))
-
-    # --------------------------------------------------------- sampling
     thin = cfg.n_thinning
     n_kept = math.ceil(cfg.n_samples / thin)
     bytes_per_kept = n_chains * dim * 4
     chunk_kept = max(1, min(n_kept, max_chunk_bytes // max(bytes_per_kept, 1)))
     n_chunks = math.ceil(n_kept / chunk_kept)
+
+    ckpt_mgr = None
+    resumed = None
+    if checkpoint_dir is not None:
+        from mile_tpu.train.resume import SamplerCheckpoint, key_data_of, \
+            keys_from_data
+
+        ckpt_mgr = SamplerCheckpoint(checkpoint_dir, fingerprint={
+            'sampler': str(cfg.name), 'n_chains': n_chains, 'dim': dim,
+            'n_samples': cfg.n_samples, 'n_thinning': thin,
+            'chunk_kept': chunk_kept,
+            'use_warmup_as_init': cfg.use_warmup_as_init,
+            'num_integration_steps': cfg.num_integration_steps,
+            'rng': key_data_of(rng_key).tolist(),
+        })
+        resumed = ckpt_mgr.load()
+
+    aux_axis = None if chain_aux is None else 0
+    if mesh is not None:
+        init_positions = shard_chains(init_positions, mesh)
+        if chain_aux is not None:
+            chain_aux = shard_chains(chain_aux, mesh)
+
+    warmup_trace = None
+    if resumed is not None:
+        state_leaves, key_data, tuned_arrays, kept_done = resumed
+        states = state_cls(**{k: jnp.asarray(v)
+                              for k, v in state_leaves.items()})
+        step_size = jnp.asarray(tuned_arrays['step_size'])
+        inverse_mass_matrix = jnp.asarray(
+            tuned_arrays['inverse_mass_matrix'])
+        restored_keys = keys_from_data(key_data)
+    else:
+        kept_done = 0
+        restored_keys = None
+        # ------------------------------------------------------- warmup
+        logger.info('> starting %s window adaptation '
+                    '(%d chains, %d steps)...',
+                    cfg.name, n_chains, cfg.warmup_steps)
+
+        from mile_tpu.train.sampling import MAX_KEPT_WARMUP
+
+        trace_every = (max(1, cfg.warmup_steps // MAX_KEPT_WARMUP)
+                       if cfg.keep_warmup else 0)
+
+        def warmup_one(position, key, aux):
+            logdensity = _bind(logdensity_fn, aux)
+            state = chain_init(position, logdensity)
+            return run_window_adaptation(
+                make_kernel(logdensity), state, key, cfg.warmup_steps,
+                initial_step_size=cfg.step_size_init if cfg.step_size_init
+                else 1.0,
+                trace_every=trace_every)
+
+        keys = jax.random.split(warmup_key, n_chains)
+        if mesh is not None:
+            keys = shard_chains(keys, mesh)
+        warmup_out = jax.block_until_ready(
+            jax.jit(jax.vmap(warmup_one, in_axes=(0, 0, aux_axis)))(
+                init_positions, keys, chain_aux))
+        if trace_every:
+            states, step_size, inverse_mass_matrix, warmup_trace = warmup_out
+        else:
+            states, step_size, inverse_mass_matrix = warmup_out
+        logger.info('> adaptation done: step_size=%s',
+                    np.asarray(step_size))
 
     def chain_block(key, state, eps, imm, aux, n_block):
         kernel = make_kernel(_bind(logdensity_fn, aux))
@@ -100,7 +132,7 @@ def run_hmc_family(
             state, infos = jax.lax.scan(inner, state,
                                         jax.random.split(key, thin))
             last = jax.tree.map(lambda x: x[-1], infos)
-            return state, (state.position, last)
+            return state, (state.position, last._asdict())
 
         state, (positions, infos) = jax.lax.scan(
             outer, state, jax.random.split(key, n_block))
@@ -110,22 +142,33 @@ def run_hmc_family(
         jax.vmap(chain_block, in_axes=(0, 0, 0, 0, aux_axis, None)),
         static_argnums=(5,))
 
-    chain_keys = jax.random.split(sample_key, n_chains)
+    host_chunks, info_chunks = [], []
+    if resumed is not None:
+        chain_keys = restored_keys
+        host_chunks, info_chunks = ckpt_mgr.load_chunks()
+    else:
+        chain_keys = jax.random.split(sample_key, n_chains)
+        if not cfg.use_warmup_as_init:
+            # restart at the original weights with tuned (ε, M⁻¹)
+            states = jax.jit(jax.vmap(
+                lambda p, aux: chain_init(p, _bind(logdensity_fn, aux)),
+                in_axes=(0, aux_axis)))(init_positions, chain_aux)
     if mesh is not None:
         states = shard_chains(states, mesh)
         chain_keys = shard_chains(chain_keys, mesh)
 
-    if not cfg.use_warmup_as_init:
-        # restart at the original weights with tuned (ε, M⁻¹)
-        states = jax.jit(jax.vmap(
-            lambda p, aux: chain_init(p, _bind(logdensity_fn, aux)),
-            in_axes=(0, aux_axis)))(init_positions, chain_aux)
+    tuned = {
+        'step_size': np.asarray(step_size),
+        'inverse_mass_matrix': np.asarray(inverse_mass_matrix),
+    }
+    if ckpt_mgr is not None and resumed is None:
+        _snapshot(ckpt_mgr, states, chain_keys, tuned, 0)
 
     logger.info('> starting %s sampling: %d kept draws x %d chains...',
                 cfg.name, n_kept, n_chains)
-    host_chunks, info_chunks = [], []
-    state, kept_done, pending = states, 0, None
-    for chunk in range(n_chunks):
+    state, pending = states, None
+    start_chunk = kept_done // chunk_kept
+    for chunk in range(start_chunk, n_chunks):
         block = min(chunk_kept, n_kept - kept_done)
         chain_keys = jax.vmap(jax.random.fold_in)(
             chain_keys, jnp.full(n_chains, chunk, dtype=jnp.uint32))
@@ -133,20 +176,20 @@ def run_hmc_family(
             chain_keys, state, step_size, inverse_mass_matrix, chain_aux,
             block)
         if pending is not None:
-            _drain(pending, host_chunks, info_chunks, sample_sink)
-        pending = (positions, infos, kept_done)
+            _drain(pending, host_chunks, info_chunks, sample_sink,
+                   ckpt_mgr, tuned)
+        pending = (positions, infos, kept_done, state, chain_keys, chunk,
+                   kept_done + block)
         kept_done += block
-    _drain(pending, host_chunks, info_chunks, sample_sink)
+    _drain(pending, host_chunks, info_chunks, sample_sink, ckpt_mgr, tuned)
     jax.block_until_ready(state)
+    if ckpt_mgr is not None:
+        ckpt_mgr.clear()
 
     samples = np.concatenate(host_chunks, axis=1)
-    infos = jax.tree.map(
-        lambda *xs: np.concatenate(xs, axis=1), *info_chunks)
-    tuned = {
-        'step_size': np.asarray(step_size),
-        'inverse_mass_matrix': np.asarray(inverse_mass_matrix),
-    }
-    info_dict = {k: np.asarray(v) for k, v in infos._asdict().items()}
+    info_dict = {k: np.concatenate([np.asarray(c[k]) for c in info_chunks],
+                                   axis=1)
+                 for k in info_chunks[0]}
     if warmup_trace is not None:
         info_dict['warmup_trace'] = np.asarray(jax.device_get(warmup_trace))
     logger.info('> %s sampling completed (mean acceptance %.3f).',

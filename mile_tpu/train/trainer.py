@@ -175,7 +175,7 @@ class BDETrainer:
                     np.asarray(positions), result.samples, mask))
             else:
                 extra = {}
-                if scfg.checkpoint_sampling and scfg.name == Sampler.MCLMC:
+                if scfg.checkpoint_sampling:
                     extra['checkpoint_dir'] = self.exp_dir / 'sampler_ckpt'
                 result = run_sampler(
                     logdensity, scfg, self._key_sample, positions, self.mesh,

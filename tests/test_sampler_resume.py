@@ -121,3 +121,32 @@ def test_sink_offsets_on_resume(tmp_path):
     # offsets are contiguous
     for (s0, b0), (s1, _) in zip(starts, starts[1:]):
         assert s0 + b0 == s1
+
+
+@pytest.mark.parametrize('sampler', ['nuts', 'hmc'])
+def test_hmc_family_resume_reproduces(tmp_path, sampler):
+    """NUTS/HMC runtime: resumed draws and per-draw info match the
+    uninterrupted run bit-for-bit."""
+    from mile_tpu.config.training import Sampler
+    from mile_tpu.train.sampling_hmc import run_hmc_family
+
+    logdensity, _, positions = _setup()
+    cfg = SamplerConfig(name=Sampler(sampler), warmup_steps=150,
+                        n_chains=N_CHAINS, n_samples=64, n_thinning=2,
+                        num_integration_steps=8)
+    key = jax.random.PRNGKey(5)
+
+    full = run_hmc_family(logdensity, cfg, key, positions,
+                          max_chunk_bytes=CHUNK_BYTES,
+                          checkpoint_dir=tmp_path / 'full')
+    ckpt = tmp_path / 'crashy'
+    with pytest.raises(KeyboardInterrupt):
+        run_hmc_family(logdensity, cfg, key, positions,
+                       max_chunk_bytes=CHUNK_BYTES, checkpoint_dir=ckpt,
+                       sample_sink=_CrashAfter(2))
+    resumed = run_hmc_family(logdensity, cfg, key, positions,
+                             max_chunk_bytes=CHUNK_BYTES,
+                             checkpoint_dir=ckpt)
+    np.testing.assert_array_equal(resumed.samples, full.samples)
+    np.testing.assert_array_equal(resumed.info['acceptance_rate'],
+                                  full.info['acceptance_rate'])
