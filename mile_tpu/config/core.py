@@ -31,6 +31,10 @@ class Config(BaseConfig):
     training: TrainingConfig = dataclasses.field(default_factory=TrainingConfig)
     rng: int = 42
     logging: bool = True
+    # capture an XLA/TPU profiler trace of the compute phases into
+    # <experiment_dir>/profile (TensorBoard-loadable). The reference has
+    # no profiler integration (SURVEY §5.1).
+    profile: bool = False
 
     # ``model:`` needs polymorphic resolution by its ``model`` name.
     @classmethod

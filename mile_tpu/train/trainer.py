@@ -221,8 +221,24 @@ class BDETrainer:
 
     # -------------------------------------------------------------- main
     def train(self, report: bool = True) -> dict:
-        member_params = self.train_warmstart()
-        result = self.start_sampling(member_params)
+        profiling = False
+        if self.config.profile:
+            try:
+                jax.profiler.start_trace(str(self.exp_dir / 'profile'))
+                profiling = True
+            except Exception:  # profiling must never kill a run
+                logger.exception('could not start the XLA profiler')
+        try:
+            member_params = self.train_warmstart()
+            result = self.start_sampling(member_params)
+        finally:
+            if profiling:
+                try:
+                    jax.profiler.stop_trace()
+                    logger.info('XLA profile written to %s',
+                                self.exp_dir / 'profile')
+                except Exception:
+                    logger.exception('could not stop the XLA profiler')
         metrics = self.evaluate(member_params, result)
         if report:
             try:

@@ -166,3 +166,15 @@ def test_checkpoint_sampling_trainer_path(tmp_path):
                 ).exists()
     assert (trainer.samples_dir / 'chain_0' / 'samples.npy').exists() or \
         any(trainer.samples_dir.glob('chain_*/*'))
+
+
+def test_profile_flag_writes_trace(tmp_path):
+    """config.profile captures a TensorBoard-loadable XLA trace."""
+    cfg = _cfg(tmp_path, 'profiled')
+    d = cfg.to_dict()
+    d['profile'] = True
+    cfg = Config.from_dict(d)
+    trainer = BDETrainer(cfg)
+    trainer.train(report=False)
+    trace_files = list((trainer.exp_dir / 'profile').rglob('*'))
+    assert any(f.is_file() for f in trace_files)
