@@ -39,6 +39,10 @@ def main(argv=None) -> int:
                         help='run grid experiments in parallel processes')
     parser.add_argument('--no_report', action='store_true',
                         help='skip report generation')
+    parser.add_argument('--multihost', action='store_true',
+                        help='initialize jax.distributed before building the '
+                             'chain mesh (TPU pod slices; auto-detects '
+                             'coordinator from the environment)')
     args = parser.parse_args(argv)
 
     if args.devices:
@@ -52,6 +56,11 @@ def main(argv=None) -> int:
         os.makedirs(args.jax_cache, exist_ok=True)
         jax.config.update('jax_compilation_cache_dir', args.jax_cache)
         jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+
+    if args.multihost:
+        from mile_tpu.parallel.distributed import initialize_distributed
+
+        initialize_distributed()
 
     if not args.silent:
         logging.basicConfig(level=logging.INFO,

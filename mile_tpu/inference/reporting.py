@@ -153,13 +153,22 @@ def generate_report(exp_dir: str | Path, config=None) -> Path:
     if mfile.exists():
         with open(mfile, 'rb') as f:
             metrics = pickle.load(f)
+    if times and not all(k in metrics for k in times):
+        # the reference notebook stores wall-times inside metrics.pkl
+        # (cell 4 -> cell 24); keep that contract so downstream consumers
+        # of metrics.pkl alone see timing columns.
+        metrics.update(times)
+        with open(mfile, 'wb') as f:
+            pickle.dump(metrics, f)
 
     running = metrics.pop('running_lppd', None)
     sections = [
         '<h1>MILE-TPU experiment report</h1>',
         f'<p>experiment dir: {html.escape(str(exp_dir))}</p>',
         '<h2>Wall times</h2>', _table(times),
-        '<h2>Metrics</h2>', _table(metrics),
+        '<h2>Metrics</h2>',
+        _table({k: v for k, v in metrics.items()
+                if not k.startswith('time.')}),
     ]
     if running is not None:
         try:

@@ -90,6 +90,9 @@ def test_artifacts_written(run):
     with open(d / 'metrics.pkl', 'rb') as f:
         m = pickle.load(f)
     assert m['step_size'].shape == (4,)
+    # wall-times are merged into metrics.pkl at report time (the reference
+    # notebook's cell-4 contract)
+    assert m['time.warmstart'] > 0 and m['time.sampling'] > 0
 
 
 def test_samples_shape_and_diversity(run):
