@@ -106,6 +106,10 @@ class SamplerConfig(BaseConfig):
     likelihood_chunk_size: Optional[int] = None
     # HMC-only: number of leapfrog steps per proposal.
     num_integration_steps: int = 32
+    # devices along a second mesh axis sharding the TRAINING SET within
+    # each chain group (log-lik contributions psum'd over ICI by GSPMD);
+    # lets n_chains < n_devices use every chip. 1 = chain axis only.
+    data_sharding: int = 1
 
     def build_kernel(self, logdensity_fn):
         """Resolve the kernel factory (reference registry parity,
@@ -126,6 +130,8 @@ class SamplerConfig(BaseConfig):
             raise ConfigError('sampler.n_chains and n_samples must be > 0')
         if self.n_thinning < 1:
             raise ConfigError('sampler.n_thinning must be >= 1')
+        if self.data_sharding < 1:
+            raise ConfigError('sampler.data_sharding must be >= 1')
 
 
 # -------------------------------------------------------------- tokenizer

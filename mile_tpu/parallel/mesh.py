@@ -13,6 +13,7 @@ rides ICI/DCN transparently.
 """
 from __future__ import annotations
 
+import logging
 from typing import Optional, Sequence
 
 import jax
@@ -20,6 +21,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 CHAIN_AXIS = 'chains'
+DATA_AXIS = 'data'
 
 
 def chain_mesh(n_devices: Optional[int] = None,
@@ -30,6 +32,29 @@ def chain_mesh(n_devices: Optional[int] = None,
     if n_devices is not None:
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (CHAIN_AXIS,))
+
+
+def chain_data_mesh(n_chain_devices: int, n_data_devices: int,
+                    devices: Optional[Sequence] = None) -> Mesh:
+    """2-D ``(chains, data)`` mesh.
+
+    The second axis shards the training set over devices *within* each
+    chain group: the log-likelihood sum over observations becomes a
+    GSPMD-inserted ``psum`` over ICI (SURVEY §7.4 — "sharded along a data
+    axis with psum of log-lik contributions when it grows"). Lets
+    ``n_chains < n_devices`` workloads use every chip instead of leaving
+    the remainder idle.
+    """
+    if devices is None:
+        devices = jax.devices()
+    need = n_chain_devices * n_data_devices
+    if len(devices) < need:
+        raise ValueError(
+            f'chain_data_mesh needs {need} devices '
+            f'({n_chain_devices} chains x {n_data_devices} data), '
+            f'have {len(devices)}')
+    grid = np.asarray(devices[:need]).reshape(n_chain_devices, n_data_devices)
+    return Mesh(grid, (CHAIN_AXIS, DATA_AXIS))
 
 
 def pick_chain_device_count(n_chains: int, max_devices: Optional[int] = None) -> int:
@@ -59,6 +84,37 @@ def shard_chains(tree, mesh: Mesh):
     def place(x):
         if hasattr(x, 'ndim') and x.ndim >= 1:
             return jax.device_put(x, chain_axis_sharding(mesh, x.ndim))
+        return jax.device_put(x, replicated_sharding(mesh))
+
+    return jax.tree.map(place, tree)
+
+
+def data_axis_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
+    """Shard the leading (observation) axis over ``data``; replicate the
+    rest (including over ``chains``)."""
+    return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
+
+
+def shard_data(tree, mesh: Mesh):
+    """Place every array with its leading axis sharded over the ``data``
+    mesh axis (no-op replication when the mesh has no such axis).
+
+    Arrays whose observation count does not divide the data-axis size are
+    replicated instead (with a warning) — XLA requires even shards for
+    explicit placement; results are identical either way, only the
+    memory/collective layout differs.
+    """
+    if DATA_AXIS not in mesh.axis_names:
+        return replicate(tree, mesh)
+    n_shards = mesh.shape[DATA_AXIS]
+
+    def place(x):
+        if hasattr(x, 'ndim') and x.ndim >= 1:
+            if x.shape[0] % n_shards == 0:
+                return jax.device_put(x, data_axis_sharding(mesh, x.ndim))
+            logging.getLogger(__name__).warning(
+                'shard_data: leading dim %d not divisible by data axis '
+                '%d; replicating', x.shape[0], n_shards)
         return jax.device_put(x, replicated_sharding(mesh))
 
     return jax.tree.map(place, tree)

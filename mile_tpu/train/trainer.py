@@ -20,7 +20,12 @@ from mile_tpu.bayes import BayesianModel
 from mile_tpu.config import Config, Sampler, Task
 from mile_tpu.data import build_loader
 from mile_tpu.inference.evaluation import evaluate_bde, evaluate_de
-from mile_tpu.parallel.mesh import chain_mesh, pick_chain_device_count
+from mile_tpu.parallel.mesh import (
+    chain_data_mesh,
+    chain_mesh,
+    pick_chain_device_count,
+    shard_data,
+)
 from mile_tpu.train import checkpoint as ckpt
 from mile_tpu.train.sampling import SamplingResult, run_sampler
 from mile_tpu.train.warmstart import train_ensemble
@@ -41,8 +46,17 @@ class BDETrainer:
         self.n_chains = sampler_cfg.n_chains
 
         n_dev = pick_chain_device_count(self.n_chains, n_devices)
-        self.mesh = chain_mesh(n_dev)
-        logger.info('mesh: %d device(s) for %d chains', n_dev, self.n_chains)
+        n_data = sampler_cfg.data_sharding
+        if n_data > 1:
+            avail = len(jax.devices()) if n_devices is None else n_devices
+            n_data = min(n_data, max(1, avail // n_dev))
+            self.mesh = chain_data_mesh(n_dev, n_data)
+            logger.info('mesh: %d chain x %d data devices for %d chains',
+                        n_dev, n_data, self.n_chains)
+        else:
+            self.mesh = chain_mesh(n_dev)
+            logger.info('mesh: %d device(s) for %d chains',
+                        n_dev, self.n_chains)
 
         key = jax.random.PRNGKey(config.rng)
         self._key_loader, self._key_init, self._key_train, self._key_sample = (
@@ -127,6 +141,9 @@ class BDETrainer:
     def start_sampling(self, member_params) -> SamplingResult:
         """Run MCMC from the ensemble members' weights."""
         x, y = self.loader.arrays('train')
+        # data-axis mesh: keep the training set resident in HBM sharded
+        # over observations; GSPMD turns the log-lik sum into a psum
+        x, y = shard_data((x, y), self.mesh)
         logdensity = self.bayes.logdensity_fn(x, y)
         positions = jax.vmap(self.bayes.flatten)(member_params)
         scfg = self.config.training.sampler
