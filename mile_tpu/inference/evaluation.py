@@ -136,6 +136,10 @@ def evaluate_bde(
     pw = M.pointwise_lppd(preds[ok], y, task)
     metrics_dict['lppd'] = float(M.lppd(pw))
     metrics_dict['nll'] = float(-pw.mean())
+    # running LPPD over the NaN-filtered chains only — one NaN chain must
+    # not NaN the whole curve (reference computes it post-filter too,
+    # evaluation.py:493-497 + metrics.py:428-446)
+    metrics_dict['running_lppd'] = np.asarray(M.running_lppd(pw))
     per_chain = [float(M.lppd(M.pointwise_lppd(p, y, task))) for p in preds]
     metrics_dict['lppd_per_chain'] = per_chain
 

@@ -143,16 +143,97 @@ def _embed_figure(fig) -> str:
     return f'<img src="data:image/png;base64,{data}"/>'
 
 
+def _load_config(exp_dir: Path, config=None):
+    """The config the run was launched with (setup_dir dumps config.yaml)."""
+    if config is not None:
+        return config
+    cfile = exp_dir / 'config.yaml'
+    if not cfile.exists():
+        return None
+    from mile_tpu.config import Config
+
+    return Config.from_yaml(cfile)
+
+
+def _rebuild_model(config):
+    """(loader, module, template, unravel) rebuilt from a config — the
+    reference notebook does the same to re-evaluate old runs
+    (/root/reference/src/inference/inference.ipynb cells 18-24)."""
+    from jax.flatten_util import ravel_pytree
+
+    from mile_tpu.data import build_loader
+    from mile_tpu.utils.keys import experiment_keys
+
+    keys = experiment_keys(config.rng)
+    loader = build_loader(config.data, keys.loader,
+                          target_len=config.data.target_len,
+                          tokenizer_config=config.training.tokenizer)
+    module = config.get_model()
+    x, _ = loader.arrays('train')
+    template = module.init(keys.init, x[:1])['params']
+    _, unravel = ravel_pytree(template)
+    return loader, module, template, unravel
+
+
+def recompute_metrics(exp_dir: str | Path, config=None) -> dict:
+    """Recompute DE + BDE posterior-predictive metrics from the artifacts
+    in an experiment dir alone (warmstart checkpoints + samples +
+    config.yaml) — no trainer state needed. This is the reference's
+    post-hoc re-evaluation workflow (reporting.py:59-72 + notebook cells
+    18-24, loading via src/training/utils.py:111-175)."""
+    from mile_tpu.config.data import Task
+    from mile_tpu.inference.evaluation import evaluate_bde, evaluate_de
+
+    exp_dir = Path(exp_dir)
+    config = _load_config(exp_dir, config)
+    if config is None:
+        raise FileNotFoundError(f'no config.yaml in {exp_dir}')
+    loader, module, template, unravel = _rebuild_model(config)
+    x, y = loader.arrays('test')
+    task = config.data.task
+    nominal = ([0.5, 0.75, 0.9, 0.95] if task == Task.REGRESSION else None)
+
+    metrics: dict = {}
+    ws_ids = ckpt.list_checkpoints(exp_dir / 'warmstart')
+    if ws_ids:
+        params = ckpt.load_params_batch(exp_dir / 'warmstart', ws_ids)
+        _, metrics = evaluate_de(module, params, x, y, task, n_samples=100,
+                                 nominal_coverages=nominal,
+                                 metrics_dict=metrics)
+    samples = ckpt.load_flat_samples(exp_dir / 'samples')
+    _, metrics = evaluate_bde(module, unravel, jnp.asarray(samples), x, y,
+                              task, nominal_coverages=nominal,
+                              metrics_dict=metrics)
+    wp = exp_dir / 'warmup_params.txt'
+    if wp.exists():
+        eps, L = ckpt.load_warmup_params(wp)
+        metrics['step_size'], metrics['L'] = eps, L
+    return metrics
+
+
 def generate_report(exp_dir: str | Path, config=None) -> Path:
-    """Assemble report.html + diagnostics.csv from run artifacts."""
+    """Assemble report.html + diagnostics.csv from run artifacts.
+
+    With no ``metrics.pkl`` in the dir, the DE/BDE evaluation is
+    RECOMPUTED from config.yaml + warmstart + samples (standalone
+    post-hoc reporting, like the reference notebook)."""
     exp_dir = Path(exp_dir)
     times = parse_times(exp_dir / 'training.log')
+    config = _load_config(exp_dir, config)
 
     metrics = {}
     mfile = exp_dir / 'metrics.pkl'
     if mfile.exists():
         with open(mfile, 'rb') as f:
             metrics = pickle.load(f)
+    elif config is not None and (exp_dir / 'samples').exists():
+        try:
+            metrics = recompute_metrics(exp_dir, config)
+            with open(mfile, 'wb') as f:
+                pickle.dump(metrics, f)
+            logger.info('metrics recomputed from artifacts -> %s', mfile)
+        except Exception:
+            logger.exception('standalone metric recomputation failed')
     if times and not all(k in metrics for k in times):
         # the reference notebook stores wall-times inside metrics.pkl
         # (cell 4 -> cell 24); keep that contract so downstream consumers
@@ -193,17 +274,10 @@ def generate_report(exp_dir: str | Path, config=None) -> Path:
         samples = ckpt.load_flat_samples(exp_dir / 'samples')
         template = None
         if config is not None:
-            # rebuild a template to name layers
-            import jax.random as jr
-
-            from mile_tpu.data import build_loader
-
-            loader = build_loader(config.data, jr.PRNGKey(config.rng),
-                                  target_len=config.data.target_len,
-                                  tokenizer_config=config.training.tokenizer)
-            module = config.get_model()
-            x, _ = loader.arrays('train')
-            template = module.init(jr.PRNGKey(0), x[:1])['params']
+            try:  # template names the per-layer diagnostic rows
+                template = _rebuild_model(config)[2]
+            except Exception:
+                logger.exception('could not rebuild the model template')
         per_param = per_param_diagnostics(samples)
         diag = compute_diagnostics(samples, template, per_param)
         write_diagnostics_csv(exp_dir / 'diagnostics.csv', diag)

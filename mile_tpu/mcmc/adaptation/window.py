@@ -103,9 +103,12 @@ def window_adaptation_update(
     welford = jax.tree.map(
         lambda fresh, cur: jnp.where(at_end, fresh, cur),
         welford_init(position.shape[0]), welford)
+    # restart dual averaging at the AVERAGED step size (BlackJAX
+    # _update_at_middle_window_end: da_init(da_final(ss_state))) — the
+    # current noisy iterate would seed the next window off-target
     da = jax.tree.map(
         lambda fresh, cur: jnp.where(at_end, fresh, cur),
-        da_init(jnp.exp(da.log_step_size)), da)
+        da_init(da_final(da)), da)
 
     return WindowAdaptState(da, welford, inverse_mass_matrix)
 

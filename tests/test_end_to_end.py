@@ -120,3 +120,29 @@ def test_times_logged(run):
     log = (trainer.exp_dir / 'training.log').read_text()
     assert 'time.warmstart took' in log
     assert 'time.sampling took' in log
+
+
+def test_standalone_report_recomputes_metrics(run):
+    """VERDICT r1 item 2: generate_report on a dir WITHOUT metrics.pkl must
+    rebuild loader/model from config.yaml and recompute the DE + BDE
+    evaluation from warmstart + samples alone (reference notebook
+    workflow, inference.ipynb cells 18-24)."""
+    trainer, orig_metrics = run
+    d = trainer.exp_dir
+    (d / 'metrics.pkl').unlink()
+    (d / 'report.html').unlink()
+
+    from mile_tpu.inference.reporting import generate_report
+
+    out = generate_report(d)  # no config, no trainer state
+    assert out.exists() and out.stat().st_size > 1000
+    with open(d / 'metrics.pkl', 'rb') as f:
+        m = pickle.load(f)
+    for key in ('lppd', 'rmse', 'de_lppd', 'cal_error', 'coverage_0.95',
+                'running_lppd'):
+        assert key in m, key
+    # recomputation must reproduce the in-run evaluation (same samples,
+    # same test split, deterministic eval keys)
+    assert m['lppd'] == pytest.approx(orig_metrics['lppd'], abs=1e-4)
+    assert m['rmse'] == pytest.approx(orig_metrics['rmse'], abs=1e-4)
+    assert 'lppd' in (d / 'report.html').read_text()

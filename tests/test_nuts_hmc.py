@@ -109,6 +109,53 @@ def test_window_adapted_runtime_gaussian(name):
     assert imm[:, -1].mean() / imm[:, 0].mean() > 4.0
 
 
+def test_thin_info_aggregation():
+    """VERDICT r1 item 6b: divergences must be counted over the whole thin
+    block, not just the last inner step."""
+    from mile_tpu.train.sampling_hmc import _aggregate_thin
+
+    infos = {
+        'acceptance_rate': jnp.array([0.5, 1.0, 0.75]),
+        'is_divergent': jnp.array([True, False, True]),
+        'is_turning': jnp.array([False, True, False]),
+        'num_integration_steps': jnp.array([3, 7, 1]),
+        'energy': jnp.array([1.0, 2.0, 3.0]),
+    }
+    out = _aggregate_thin(infos)
+    assert float(out['acceptance_rate']) == pytest.approx(0.75)
+    assert int(out['is_divergent']) == 2          # counted, not sampled
+    assert int(out['is_turning']) == 1
+    assert int(out['num_integration_steps']) == 11
+    assert float(out['energy']) == 3.0            # last-state statistic
+
+
+def test_window_adaptation_ill_conditioned_bnn_scale():
+    """VERDICT r1 item 1 (CPU leg): on a >=500-dim badly-scaled Gaussian,
+    window adaptation must (a) not collapse the step size, (b) land near
+    the 0.8 acceptance target, and (c) learn the per-coordinate scale
+    structure in the mass matrix. Analytic stand-in for the BlackJAX
+    cross-check (blackjax is not installed in this image); the target's
+    condition number (1e4 in variance) is BNN-like."""
+    dim = 512
+    rng = np.random.default_rng(0)
+    scales = jnp.asarray(
+        np.exp(rng.uniform(np.log(1e-1), np.log(10.0), dim)))
+    logdensity = lambda x: -0.5 * jnp.sum((x / scales) ** 2)
+    cfg = SamplerConfig(name=Sampler.NUTS, warmup_steps=500, n_chains=2,
+                        n_samples=100, step_size_init=0.001)
+    x0 = jax.random.normal(jax.random.PRNGKey(3), (2, dim)) * scales
+    res = run_hmc_family(logdensity, cfg, jax.random.PRNGKey(4), x0)
+    acc = float(np.nanmean(res.info['acceptance_rate']))
+    assert 0.6 < acc <= 1.0
+    eps = np.asarray(res.tuned['step_size'])
+    assert (eps > 1e-2).all(), f'step size collapsed: {eps}'
+    imm = np.asarray(res.tuned['inverse_mass_matrix'])
+    true_var = np.asarray(scales) ** 2
+    # log-space agreement per coordinate: the bulk within one decade
+    err = np.abs(np.log10(imm / true_var))
+    assert np.median(err, axis=1).max() < 1.0
+
+
 def test_nuts_keep_warmup_trace():
     dim = 6
     logdensity = lambda x: -0.5 * jnp.sum(x * x)
