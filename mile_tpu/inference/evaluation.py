@@ -22,6 +22,11 @@ logger = logging.getLogger(__name__)
 
 
 # ------------------------------------------------------------- prediction
+#: default byte budget for transient prediction memory (reference notebook
+#: cell 21 uses the same 4 GB cap: /root/reference/src/inference/inference.ipynb)
+DEFAULT_EVAL_MEMORY_BUDGET = 4 * 1024 ** 3
+
+
 def make_predictor(module, unravel) -> Callable:
     """jitted (theta, x) -> model outputs, for flat parameter vectors."""
 
@@ -32,28 +37,125 @@ def make_predictor(module, unravel) -> Callable:
     return predict
 
 
+def _jaxpr_bytes(jaxpr) -> int:
+    """Sum of all equation-output aval sizes, recursing into sub-jaxprs."""
+    total = 0
+    for eqn in jaxpr.eqns:
+        sub = []
+        for p in eqn.params.values():
+            for item in (p if isinstance(p, (list, tuple)) else [p]):
+                if hasattr(item, 'eqns'):
+                    sub.append(item)
+                elif hasattr(item, 'jaxpr') and hasattr(item.jaxpr, 'eqns'):
+                    sub.append(item.jaxpr)
+        if sub:
+            total += sum(_jaxpr_bytes(s) for s in sub)
+        else:
+            for v in eqn.outvars:
+                aval = getattr(v, 'aval', None)
+                shape = getattr(aval, 'shape', None)
+                if shape is not None:
+                    total += (int(np.prod(shape, dtype=np.int64))
+                              * np.dtype(aval.dtype).itemsize)
+    return total
+
+
+def unit_activation_bytes(module, unravel, dim: int, x) -> int:
+    """Activation bytes for ONE flat sample applied to ONE observation.
+
+    Traces the un-vmapped apply abstractly and sums every intermediate
+    array — the per-(sample, obs) memory cost of the vmapped predictor.
+    Pre-XLA-fusion, so it over-estimates what the compiler materializes:
+    conservative in the safe direction. TPU-native replacement for the
+    reference's host-side pickle-size heuristic
+    (/root/reference/src/inference/inference.ipynb cell 21).
+    """
+    theta = jax.ShapeDtypeStruct((dim,), jnp.float32)
+    x1 = jax.ShapeDtypeStruct((1,) + tuple(x.shape[1:]), x.dtype)
+    try:
+        jaxpr = jax.make_jaxpr(
+            lambda t, xx: module.apply({'params': unravel(t)}, xx))(theta, x1)
+    except Exception:  # exotic modules may resist abstract tracing
+        logger.warning('could not trace model for memory planning; '
+                       'falling back to unchunked observations')
+        return 0
+    return _jaxpr_bytes(jaxpr.jaxpr)
+
+
+def plan_eval_chunks(module, unravel, dim: int, x, n_samples: int,
+                     sample_batch: int = 256,
+                     memory_budget_bytes: int = DEFAULT_EVAL_MEMORY_BUDGET,
+                     ) -> tuple[int, int]:
+    """(sample_chunk, obs_chunk) such that the vmapped predict's transient
+    activations fit ``memory_budget_bytes``.
+
+    Shrinks the observation axis first (keeping the vmapped sample axis
+    wide keeps matmuls large for the MXU); only if a single observation
+    still blows the budget does the sample axis shrink too. Reference
+    batches over observations only (evaluation.py:334-406).
+    """
+    n_obs = int(x.shape[0])
+    s_chunk = max(1, min(sample_batch, n_samples))
+    unit = unit_activation_bytes(module, unravel, dim, x)
+    if unit <= 0:
+        return s_chunk, n_obs
+    obs_chunk = int(memory_budget_bytes // (s_chunk * unit))
+    if obs_chunk < 1:
+        s_chunk = max(1, int(memory_budget_bytes // unit))
+        obs_chunk = 1
+    obs_chunk = min(obs_chunk, n_obs)
+    if obs_chunk < n_obs or s_chunk < min(sample_batch, n_samples):
+        logger.info(
+            'evaluation chunked to %d samples x %d observations '
+            '(%.1f KiB activations per sample-obs, %.2f GiB budget)',
+            s_chunk, obs_chunk, unit / 1024,
+            memory_budget_bytes / 1024 ** 3)
+    return s_chunk, obs_chunk
+
+
 def predict_from_flat(module, unravel, flat_samples: jnp.ndarray,
-                      x: jnp.ndarray, sample_batch: int = 256) -> jnp.ndarray:
-    """(S, dim) flat samples -> (S, B, out) predictions, vmapped+chunked."""
+                      x: jnp.ndarray, sample_batch: int = 256,
+                      memory_budget_bytes: int = DEFAULT_EVAL_MEMORY_BUDGET,
+                      ) -> jnp.ndarray:
+    """(S, dim) flat samples -> (S, B, out) predictions.
+
+    vmapped over samples under jit, chunked over BOTH the sample and the
+    observation axes so transient activations stay within
+    ``memory_budget_bytes`` (reference batches observations from a 4 GB
+    heuristic: inference.ipynb cell 21 + evaluation.py:334-406).
+    """
+    n_samples, dim = flat_samples.shape
+    s_chunk, obs_chunk = plan_eval_chunks(
+        module, unravel, dim, x, n_samples, sample_batch,
+        memory_budget_bytes)
 
     @jax.jit
-    def batch_predict(thetas):
+    def batch_predict(thetas, xb):
         return jax.vmap(
-            lambda t: module.apply({'params': unravel(t)}, x))(thetas)
+            lambda t: module.apply({'params': unravel(t)}, xb))(thetas)
 
     outs = []
-    for i in range(0, flat_samples.shape[0], sample_batch):
-        outs.append(batch_predict(flat_samples[i:i + sample_batch]))
+    for i in range(0, n_samples, s_chunk):
+        thetas = flat_samples[i:i + s_chunk]
+        if obs_chunk >= x.shape[0]:
+            outs.append(batch_predict(thetas, x))
+        else:
+            obs_outs = [batch_predict(thetas, x[j:j + obs_chunk])
+                        for j in range(0, x.shape[0], obs_chunk)]
+            outs.append(jnp.concatenate(obs_outs, axis=1))
     return jnp.concatenate(outs, axis=0)
 
 
 def predict_bde(module, unravel, samples: jnp.ndarray, x: jnp.ndarray,
-                sample_batch: int = 256) -> jnp.ndarray:
+                sample_batch: int = 256,
+                memory_budget_bytes: int = DEFAULT_EVAL_MEMORY_BUDGET,
+                ) -> jnp.ndarray:
     """(C, S, dim) samples -> (C, S, B, out); chains×samples flattened into
     one vmapped axis so small chains don't underutilize the device."""
     c, s, dim = samples.shape
     flat = samples.reshape(c * s, dim)
-    preds = predict_from_flat(module, unravel, flat, x, sample_batch)
+    preds = predict_from_flat(module, unravel, flat, x, sample_batch,
+                              memory_budget_bytes)
     return preds.reshape(c, s, *preds.shape[1:])
 
 
@@ -114,6 +216,7 @@ def evaluate_bde(
     sample_batch: int = 256,
     metrics_dict: Optional[dict] = None,
     verbose: bool = True,
+    memory_budget_bytes: int = DEFAULT_EVAL_MEMORY_BUDGET,
 ) -> tuple[jnp.ndarray, dict]:
     """Pooled + per-chain posterior-predictive metrics.
 
@@ -122,7 +225,8 @@ def evaluate_bde(
     """
     metrics_dict = dict(metrics_dict or {})
     rng_key = jax.random.PRNGKey(42) if rng_key is None else rng_key
-    preds = predict_bde(module, unravel, jnp.asarray(samples), x, sample_batch)
+    preds = predict_bde(module, unravel, jnp.asarray(samples), x, sample_batch,
+                        memory_budget_bytes)
 
     # NaN-chain exclusion (reference evaluation.py:493-497)
     nan_chains = np.asarray(jnp.isnan(preds).any(axis=tuple(range(1, preds.ndim))))

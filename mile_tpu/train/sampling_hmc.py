@@ -128,7 +128,8 @@ def run_hmc_family(
                 make_kernel(logdensity), state, key, cfg.warmup_steps,
                 initial_step_size=cfg.step_size_init if cfg.step_size_init
                 else 1.0,
-                trace_every=trace_every)
+                trace_every=trace_every,
+                logdensity_fn=logdensity)
 
         keys = jax.random.split(warmup_key, n_chains)
         if mesh is not None:

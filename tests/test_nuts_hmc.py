@@ -156,6 +156,44 @@ def test_window_adaptation_ill_conditioned_bnn_scale():
     assert np.median(err, axis=1).max() < 1.0
 
 
+def test_find_reasonable_step_size_brackets_scale():
+    """Stan's bracketing search recovers the usable ε scale from seeds that
+    are orders of magnitude off, in BOTH directions (VERDICT r1 item 1:
+    the ε-collapse came from dual averaging seeded 10-1000x too large on
+    sharp full-batch posteriors)."""
+    from mile_tpu.mcmc.adaptation.window import find_reasonable_step_size
+
+    dim = 32
+    for scale in (1e-3, 1.0, 30.0):
+        logdensity = lambda x: -0.5 * jnp.sum((x / scale) ** 2)
+        pos = 0.5 * scale * jnp.ones(dim)
+        for seed_eps in (1e-6, 1e-3, 1.0, 100.0):
+            eps = float(find_reasonable_step_size(
+                logdensity, pos, jax.random.PRNGKey(0),
+                initial_step_size=seed_eps))
+            # one-leapfrog stability boundary for an isotropic Gaussian is
+            # eps ~ 2*scale; bracketing must land within ~one decade
+            assert 0.05 * scale < eps < 20.0 * scale, (scale, seed_eps, eps)
+
+
+def test_short_warmup_sharp_posterior_no_collapse():
+    """100-step window adaptation on a sharp target from a 500x-too-large
+    seed: the r1 failure reproduced in miniature. Bracketing must put dual
+    averaging on scale so the short warmup lands near target acceptance."""
+    dim = 64
+    scale = 1e-3
+    logdensity = lambda x: -0.5 * jnp.sum((x / scale) ** 2)
+    cfg = SamplerConfig(name=Sampler.NUTS, warmup_steps=100, n_chains=2,
+                        n_samples=100, step_size_init=0.5)
+    x0 = jax.random.normal(jax.random.PRNGKey(5), (2, dim)) * scale
+    res = run_hmc_family(logdensity, cfg, jax.random.PRNGKey(6), x0)
+    eps = np.asarray(res.tuned['step_size'])
+    assert (eps > 1e-5).all(), f'step size collapsed: {eps}'
+    assert (eps < 1e-1).all(), f'step size exploded: {eps}'
+    acc = float(np.nanmean(res.info['acceptance_rate']))
+    assert 0.5 < acc <= 1.0, acc
+
+
 def test_nuts_keep_warmup_trace():
     dim = 6
     logdensity = lambda x: -0.5 * jnp.sum(x * x)
