@@ -154,3 +154,13 @@ class TrainingConfig(BaseConfig):
     warmstart: WarmstartConfig = dataclasses.field(default_factory=WarmstartConfig)
     sampler: SamplerConfig = dataclasses.field(default_factory=SamplerConfig)
     tokenizer: Optional[TokenizerConfig] = None
+    #: 'npz' (host-local, report interface) or 'orbax' (sharded,
+    #: multi-host-capable: each process writes its own shards of the
+    #: warmstart ensemble and sampler state)
+    checkpoint_format: str = 'npz'
+
+    def __post_init__(self):
+        if self.checkpoint_format not in ('npz', 'orbax'):
+            raise ConfigError(
+                "training.checkpoint_format must be 'npz' or 'orbax', "
+                f'got {self.checkpoint_format!r}')

@@ -100,7 +100,23 @@ class TextLoader(BaseLoader):
             raise ImportError(
                 'source=huggingface requires the `datasets` package'
             ) from e
-        ds = load_dataset(self.config.path, split='train')
+        import os
+
+        # a local file routes through the datasets CSV/JSON builders, so
+        # the HF integration is exercised (and testable) without network
+        # egress; a bare name hits the hub like the reference
+        # (/root/reference/src/dataset/text.py:33-72, load_dataset('imdb'))
+        path = str(self.config.path)
+        if os.path.exists(path):
+            builder = {'.csv': 'csv', '.json': 'json',
+                       '.jsonl': 'json'}.get(os.path.splitext(path)[1])
+            if builder is None:
+                raise ValueError(
+                    f'source=huggingface with a local file needs .csv or '
+                    f'.json(l), got {path!r}')
+            ds = load_dataset(builder, data_files=path, split='train')
+        else:
+            ds = load_dataset(path, split='train')
         text_col = (self.config.features or ['text'])[0]
         label_col = self.config.target_column or 'label'
         return list(ds[text_col]), list(ds[label_col])

@@ -215,11 +215,27 @@ def run_window_adaptation(
     def one_step(carry, xs):
         state, adapt = carry
         stage, key = xs
-        state, info = kernel(key, state, jnp.exp(adapt.da.log_step_size),
+        key_step, key_bracket = jax.random.split(key)
+        state, info = kernel(key_step, state,
+                             jnp.exp(adapt.da.log_step_size),
                              adapt.inverse_mass_matrix)
         adapt = window_adaptation_update(
             adapt, stage, state.position, info.acceptance_rate,
             target_acceptance_rate)
+        if logdensity_fn is not None:
+            # re-bracket ε against the freshly adopted mass matrix at slow-
+            # window ends (numpyro warmup behavior): adopting a new M⁻¹
+            # re-scales the momenta, so the pre-adoption ε can be instantly
+            # divergent — dual averaging alone cannot recover within a
+            # short terminal buffer (the r1 ε-collapse persisted through
+            # initial bracketing because of exactly this)
+            eps_b = find_reasonable_step_size(
+                logdensity_fn, state.position, key_bracket,
+                inverse_mass_matrix=adapt.inverse_mass_matrix,
+                initial_step_size=jnp.exp(adapt.da.log_step_size))
+            adapt = jax.tree.map(
+                lambda new, old: jnp.where(stage == 2, new, old),
+                adapt._replace(da=da_init(eps_b)), adapt)
         return (state, adapt), None
 
     keys = jax.random.split(rng_key, num_steps)

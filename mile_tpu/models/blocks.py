@@ -97,11 +97,18 @@ class PretrainedTokenEmbedding(nn.Module):
     pos_size: Optional[int] = None
 
     def setup(self):
+        import os
+
         import numpy as np
 
         self._emb = jnp.asarray(np.load(self.pretrained_weights_path))
         if self.pos_size:
-            pos_path = self.pretrained_weights_path.replace('emb', 'pos_emb')
+            # reference convention: sibling file named 'emb' -> 'pos_emb'
+            # (/root/reference/src/flax_building_blocks/basic.py:131); we
+            # apply it to the basename only so directories containing
+            # 'emb' don't corrupt the path
+            head, base = os.path.split(self.pretrained_weights_path)
+            pos_path = os.path.join(head, base.replace('emb', 'pos_emb', 1))
             self._pos = jnp.asarray(np.load(pos_path))
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:

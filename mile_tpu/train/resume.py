@@ -31,15 +31,24 @@ import numpy as np
 logger = logging.getLogger(__name__)
 
 _SNAPSHOT = 'sampler_state.npz'
+_SNAPSHOT_ORBAX = 'sampler_state_orbax'
 _META = 'sampler_meta.json'
 
 
 class SamplerCheckpoint:
-    """Atomic snapshot + drained-chunk store under one directory."""
+    """Atomic snapshot + drained-chunk store under one directory.
 
-    def __init__(self, directory: str | Path, fingerprint: dict):
+    ``fmt='orbax'`` routes the state snapshot through
+    :mod:`mile_tpu.train.checkpoint_orbax` (sharded arrays write
+    process-local shards on a multi-host mesh); the drained draw chunks
+    stay npz either way — they are host-side egress buffers by design.
+    """
+
+    def __init__(self, directory: str | Path, fingerprint: dict,
+                 fmt: str = 'npz'):
         self.dir = Path(directory)
         self.dir.mkdir(parents=True, exist_ok=True)
+        self.fmt = fmt
         # every value participating in determinism must be in the
         # fingerprint — resuming under a different config is an error
         self.fingerprint = {k: (v.tolist() if isinstance(v, np.ndarray)
@@ -49,15 +58,24 @@ class SamplerCheckpoint:
     def save(self, state_leaves: dict, key_data: np.ndarray,
              tuned: dict, kept_done: int) -> None:
         """Atomically overwrite the snapshot (tmp + rename)."""
-        arrays = {f'state_{k}': np.asarray(v)
-                  for k, v in state_leaves.items()}
-        arrays['key_data'] = np.asarray(key_data)
-        arrays.update({f'tuned_{k}': np.asarray(v)
-                       for k, v in tuned.items()})
-        tmp = self.dir / (_SNAPSHOT + '.tmp')
-        with open(tmp, 'wb') as f:
-            np.savez(f, **arrays)
-        os.replace(tmp, self.dir / _SNAPSHOT)
+        if self.fmt == 'orbax':
+            from mile_tpu.train.checkpoint_orbax import save_ensemble
+
+            save_ensemble(self.dir / _SNAPSHOT_ORBAX, {
+                'state': {k: np.asarray(v) for k, v in state_leaves.items()},
+                'key_data': np.asarray(key_data),
+                'tuned': {k: np.asarray(v) for k, v in tuned.items()},
+            }, step=0)
+        else:
+            arrays = {f'state_{k}': np.asarray(v)
+                      for k, v in state_leaves.items()}
+            arrays['key_data'] = np.asarray(key_data)
+            arrays.update({f'tuned_{k}': np.asarray(v)
+                           for k, v in tuned.items()})
+            tmp = self.dir / (_SNAPSHOT + '.tmp')
+            with open(tmp, 'wb') as f:
+                np.savez(f, **arrays)
+            os.replace(tmp, self.dir / _SNAPSHOT)
         meta = {'fingerprint': self.fingerprint, 'kept_done': int(kept_done)}
         tmp = self.dir / (_META + '.tmp')
         tmp.write_text(json.dumps(meta))
@@ -76,8 +94,10 @@ class SamplerCheckpoint:
     def load(self):
         """Return (state_leaves, key_data, tuned, kept_done) or None."""
         meta_path = self.dir / _META
+        orbax_path = self.dir / _SNAPSHOT_ORBAX
         snap_path = self.dir / _SNAPSHOT
-        if not (meta_path.exists() and snap_path.exists()):
+        use_orbax = self.fmt == 'orbax' and orbax_path.exists()
+        if not (meta_path.exists() and (snap_path.exists() or use_orbax)):
             return None
         meta = json.loads(meta_path.read_text())
         if meta.get('fingerprint') != self.fingerprint:
@@ -85,12 +105,19 @@ class SamplerCheckpoint:
                 'sampler checkpoint at %s belongs to a different run '
                 '(fingerprint mismatch) — ignoring it', self.dir)
             return None
-        with np.load(snap_path) as d:
-            state = {k[len('state_'):]: d[k] for k in d.files
-                     if k.startswith('state_')}
-            tuned = {k[len('tuned_'):]: d[k] for k in d.files
-                     if k.startswith('tuned_')}
-            key_data = d['key_data']
+        if use_orbax:
+            from mile_tpu.train.checkpoint_orbax import load_ensemble
+
+            tree = load_ensemble(orbax_path)
+            state, tuned = tree['state'], tree['tuned']
+            key_data = tree['key_data']
+        else:
+            with np.load(snap_path) as d:
+                state = {k[len('state_'):]: d[k] for k in d.files
+                         if k.startswith('state_')}
+                tuned = {k[len('tuned_'):]: d[k] for k in d.files
+                         if k.startswith('tuned_')}
+                key_data = d['key_data']
         logger.info('resuming sampler from %s at %d kept draws',
                     self.dir, meta['kept_done'])
         return state, key_data, tuned, int(meta['kept_done'])
@@ -110,10 +137,13 @@ class SamplerCheckpoint:
     def clear(self) -> None:
         """Remove snapshot + chunks after a successful run (the draws
         live in the experiment's samples/ dir from here on)."""
+        import shutil
+
         for p in self.dir.glob('chunk_*.npz'):
             p.unlink()
         for name in (_SNAPSHOT, _META):
             (self.dir / name).unlink(missing_ok=True)
+        shutil.rmtree(self.dir / _SNAPSHOT_ORBAX, ignore_errors=True)
         try:
             self.dir.rmdir()
         except OSError:

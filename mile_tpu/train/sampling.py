@@ -108,6 +108,7 @@ def run_mclmc(
     sample_sink: Optional[Callable] = None,
     chain_aux=None,
     checkpoint_dir=None,
+    checkpoint_format: str = 'npz',
 ) -> SamplingResult:
     """Full MCLMC pipeline: warmup then ``n_samples`` kernel steps per
     chain, keeping every ``n_thinning``-th position.
@@ -143,7 +144,8 @@ def run_mclmc(
         from mile_tpu.train.resume import SamplerCheckpoint, key_data_of, \
             keys_from_data
 
-        ckpt_mgr = SamplerCheckpoint(checkpoint_dir, fingerprint={
+        ckpt_mgr = SamplerCheckpoint(checkpoint_dir, fmt=checkpoint_format,
+                                     fingerprint={
             'n_chains': n_chains, 'dim': dim, 'n_samples': cfg.n_samples,
             'n_thinning': thin, 'chunk_kept': chunk_kept,
             'use_warmup_as_init': cfg.use_warmup_as_init,

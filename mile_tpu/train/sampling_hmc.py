@@ -56,6 +56,7 @@ def run_hmc_family(
     sample_sink=None,
     chain_aux=None,
     checkpoint_dir=None,
+    checkpoint_format: str = 'npz',
 ) -> SamplingResult:
     from mile_tpu.train.sampling import _bind, _snapshot
 
@@ -74,7 +75,11 @@ def run_hmc_family(
     thin = cfg.n_thinning
     n_kept = math.ceil(cfg.n_samples / thin)
     bytes_per_kept = n_chains * dim * 4
-    chunk_kept = max(1, min(n_kept, max_chunk_bytes // max(bytes_per_kept, 1)))
+    # NUTS draws cost up to 2^max_depth gradients each, so cap the kept
+    # draws per dispatch as well as the bytes: bounded device-side latency
+    # per block (long single dispatches stall egress overlap and progress)
+    chunk_kept = max(1, min(n_kept, max_chunk_bytes // max(bytes_per_kept, 1),
+                            128))
     n_chunks = math.ceil(n_kept / chunk_kept)
 
     ckpt_mgr = None
@@ -83,7 +88,8 @@ def run_hmc_family(
         from mile_tpu.train.resume import SamplerCheckpoint, key_data_of, \
             keys_from_data
 
-        ckpt_mgr = SamplerCheckpoint(checkpoint_dir, fingerprint={
+        ckpt_mgr = SamplerCheckpoint(checkpoint_dir, fmt=checkpoint_format,
+                                     fingerprint={
             'sampler': str(cfg.name), 'n_chains': n_chains, 'dim': dim,
             'n_samples': cfg.n_samples, 'n_thinning': thin,
             'chunk_kept': chunk_kept,

@@ -108,13 +108,27 @@ class BDETrainer:
         with measure_time('time.warmstart'):
             if cfg.warmstart_exp_dir:
                 src = Path(cfg.warmstart_exp_dir) / 'warmstart'
-                ids = ckpt.list_checkpoints(src)
-                if len(ids) < self.n_chains:
-                    raise ValueError(
-                        f'warmstart dir {src} has {len(ids)} checkpoints, '
-                        f'need {self.n_chains}')
-                logger.info('reusing warmstart checkpoints from %s', src)
-                params = ckpt.load_params_batch(src, ids[: self.n_chains])
+                if (src / 'orbax').exists():
+                    from mile_tpu.train.checkpoint_orbax import load_ensemble
+
+                    logger.info('reusing orbax warmstart ensemble from %s',
+                                src)
+                    params = load_ensemble(src / 'orbax')
+                    n_avail = jax.tree.leaves(params)[0].shape[0]
+                    if n_avail < self.n_chains:
+                        raise ValueError(
+                            f'orbax ensemble at {src} has {n_avail} members,'
+                            f' need {self.n_chains}')
+                    params = jax.tree.map(lambda a: a[: self.n_chains],
+                                          params)
+                else:
+                    ids = ckpt.list_checkpoints(src)
+                    if len(ids) < self.n_chains:
+                        raise ValueError(
+                            f'warmstart dir {src} has {len(ids)} checkpoints,'
+                            f' need {self.n_chains}')
+                    logger.info('reusing warmstart checkpoints from %s', src)
+                    params = ckpt.load_params_batch(src, ids[: self.n_chains])
             elif cfg.include:
                 params, store = train_ensemble(
                     self.module, self.loader, cfg, self.config.data.task,
@@ -137,6 +151,12 @@ class BDETrainer:
         for i in range(self.n_chains):
             ckpt.save_params(
                 self.warmstart_dir, jax.tree.map(lambda a: a[i], params), i)
+        if self.config.training.checkpoint_format == 'orbax':
+            # sharded multi-host-capable copy of the ensemble (per-chain
+            # npz above stays the report/reuse interface for npz runs)
+            from mile_tpu.train.checkpoint_orbax import save_ensemble
+
+            save_ensemble(self.warmstart_dir / 'orbax', params)
         return params
 
     def start_sampling(self, member_params) -> SamplingResult:
@@ -195,6 +215,8 @@ class BDETrainer:
                 extra = {}
                 if scfg.checkpoint_sampling:
                     extra['checkpoint_dir'] = self.exp_dir / 'sampler_ckpt'
+                    extra['checkpoint_format'] = (
+                        self.config.training.checkpoint_format)
                 result = run_sampler(
                     logdensity, scfg, self._key_sample, positions, self.mesh,
                     sample_sink=sink, **extra)
