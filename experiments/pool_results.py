@@ -68,6 +68,25 @@ def collect_experiment(exp_dir: Path) -> dict | None:
             if col in diag:
                 row[f'mean_{col}'] = float(diag[col].mean())
 
+    # tuned sampler parameters + per-draw statistics (the reference pools
+    # step_size/L into its figure data, plot_results.R lines 100-158, and
+    # plots gradient evaluations, lines 850-909)
+    info_file = exp_dir / 'samples' / 'info.pkl'
+    if info_file.exists():
+        with open(info_file, 'rb') as f:
+            info = pickle.load(f)
+        for k in ('step_size', 'L'):
+            if k in info:
+                v = np.asarray(info[k], dtype=np.float64)
+                row[k] = float(np.mean(v))
+                row[f'sd_{k}'] = float(np.std(v))
+        for k in ('acceptance_rate', 'num_integration_steps'):
+            if k in info:
+                row[f'mean_{k}'] = float(np.mean(np.asarray(info[k],
+                                                            np.float64)))
+        if 'is_divergent' in info:
+            row['n_divergent'] = int(np.sum(info['is_divergent']))
+
     row.update(parse_times(exp_dir / 'training.log'))
     return row
 
