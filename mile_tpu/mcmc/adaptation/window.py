@@ -191,9 +191,10 @@ def run_window_adaptation(
     target_acceptance_rate: float = 0.8,
     trace_every: int = 0,
     logdensity_fn: Callable | None = None,
+    return_stats: bool = False,
 ):
     """Adapt one chain for ``num_steps``; returns (state, step_size,
-    inv_mass[, trace]).
+    inv_mass[, trace][, stats]).
 
     The schedule is a host-side constant array scanned alongside the keys,
     so the whole warmup is ONE ``lax.scan`` program. With ``trace_every``
@@ -202,23 +203,34 @@ def run_window_adaptation(
 
     When ``logdensity_fn`` is given, ``initial_step_size`` is first
     re-bracketed with :func:`find_reasonable_step_size` so dual averaging
-    starts on the usable scale regardless of how far off the config seed is.
+    starts on the usable scale regardless of how far off the config seed
+    is. With ``return_stats`` the last element is a dict of adaptation
+    telemetry: the bracketed seed ε and the mean acceptance over the
+    terminal fast buffer (health signals for warmup-budget debugging).
     """
-    schedule = jnp.asarray(build_schedule(num_steps))
+    sched_np = build_schedule(num_steps)
+    final_buffer = int(np.sum(np.cumsum(sched_np[::-1] != 0) == 0))
+    schedule = jnp.asarray(sched_np)
     if logdensity_fn is not None:
         rng_key, key_bracket = jax.random.split(rng_key)
         initial_step_size = find_reasonable_step_size(
             logdensity_fn, init_state.position, key_bracket,
             initial_step_size=initial_step_size)
+    bracketed = jnp.asarray(initial_step_size, jnp.float32)
     adapt = window_adaptation_init(init_state.position, initial_step_size)
+    acc_acc = (jnp.asarray(0.0), jnp.asarray(0.0))  # (sum, count)
 
     def one_step(carry, xs):
-        state, adapt = carry
-        stage, key = xs
+        state, adapt, acc_acc = carry
+        stage, step_idx, key = xs
         key_step, key_bracket = jax.random.split(key)
         state, info = kernel(key_step, state,
                              jnp.exp(adapt.da.log_step_size),
                              adapt.inverse_mass_matrix)
+        in_final = step_idx >= num_steps - max(final_buffer, 1)
+        acc_acc = (acc_acc[0] + jnp.where(in_final, info.acceptance_rate,
+                                          0.0),
+                   acc_acc[1] + jnp.where(in_final, 1.0, 0.0))
         adapt = window_adaptation_update(
             adapt, stage, state.position, info.acceptance_rate,
             target_acceptance_rate)
@@ -236,12 +248,14 @@ def run_window_adaptation(
             adapt = jax.tree.map(
                 lambda new, old: jnp.where(stage == 2, new, old),
                 adapt._replace(da=da_init(eps_b)), adapt)
-        return (state, adapt), None
+        return (state, adapt, acc_acc), None
 
     keys = jax.random.split(rng_key, num_steps)
+    indices = jnp.arange(num_steps)
+    carry0 = (init_state, adapt, acc_acc)
     if not trace_every:
-        (state, adapt), _ = jax.lax.scan(one_step, (init_state, adapt),
-                                         (schedule, keys))
+        (state, adapt, acc_acc), _ = jax.lax.scan(
+            one_step, carry0, (schedule, indices, keys))
         trace = None
     else:
         n = (num_steps // trace_every) * trace_every
@@ -252,13 +266,19 @@ def run_window_adaptation(
             carry, _ = jax.lax.scan(one_step, carry, xs)
             return carry, carry[0].position
 
-        (state, adapt), trace = jax.lax.scan(
-            outer, (init_state, adapt), (blk(schedule), blk(keys)))
+        (state, adapt, acc_acc), trace = jax.lax.scan(
+            outer, carry0, (blk(schedule), blk(indices), blk(keys)))
         if n < num_steps:
-            (state, adapt), _ = jax.lax.scan(
-                one_step, (state, adapt), (schedule[n:], keys[n:]))
+            (state, adapt, acc_acc), _ = jax.lax.scan(
+                one_step, (state, adapt, acc_acc),
+                (schedule[n:], indices[n:], keys[n:]))
 
     step_size, inverse_mass_matrix = window_adaptation_final(adapt)
+    out = (state, step_size, inverse_mass_matrix)
     if trace_every:
-        return state, step_size, inverse_mass_matrix, trace
-    return state, step_size, inverse_mass_matrix
+        out = out + (trace,)
+    if return_stats:
+        out = out + ({'bracketed_step_size': bracketed,
+                      'final_buffer_acceptance':
+                          acc_acc[0] / jnp.maximum(acc_acc[1], 1.0)},)
+    return out

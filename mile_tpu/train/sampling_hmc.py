@@ -135,7 +135,8 @@ def run_hmc_family(
                 initial_step_size=cfg.step_size_init if cfg.step_size_init
                 else 1.0,
                 trace_every=trace_every,
-                logdensity_fn=logdensity)
+                logdensity_fn=logdensity,
+                return_stats=True)
 
         keys = jax.random.split(warmup_key, n_chains)
         if mesh is not None:
@@ -144,11 +145,16 @@ def run_hmc_family(
             jax.jit(jax.vmap(warmup_one, in_axes=(0, 0, aux_axis)))(
                 init_positions, keys, chain_aux))
         if trace_every:
-            states, step_size, inverse_mass_matrix, warmup_trace = warmup_out
+            (states, step_size, inverse_mass_matrix, warmup_trace,
+             warmup_stats) = warmup_out
         else:
-            states, step_size, inverse_mass_matrix = warmup_out
-        logger.info('> adaptation done: step_size=%s',
-                    np.asarray(step_size))
+            states, step_size, inverse_mass_matrix, warmup_stats = warmup_out
+        logger.info(
+            '> adaptation done: step_size=%s\n  bracketed seed eps=%s\n'
+            '  terminal-buffer acceptance=%s (target %.2f)',
+            np.asarray(step_size),
+            np.asarray(warmup_stats['bracketed_step_size']),
+            np.asarray(warmup_stats['final_buffer_acceptance']), 0.8)
 
     def chain_block(key, state, eps, imm, aux, n_block):
         kernel = make_kernel(_bind(logdensity_fn, aux))
@@ -189,6 +195,13 @@ def run_hmc_family(
         'step_size': np.asarray(step_size),
         'inverse_mass_matrix': np.asarray(inverse_mass_matrix),
     }
+    if resumed is None:
+        tuned.update({
+            'bracketed_step_size':
+                np.asarray(warmup_stats['bracketed_step_size']),
+            'final_buffer_acceptance':
+                np.asarray(warmup_stats['final_buffer_acceptance']),
+        })
     if ckpt_mgr is not None and resumed is None:
         _snapshot(ckpt_mgr, states, chain_keys, tuned, 0)
 
