@@ -185,9 +185,98 @@ def reference_style_baseline() -> None:
     }))
 
 
+def lenet_mfu(compute_dtype='bfloat16', chunk=None) -> None:
+    """Big-model device-perf point (VERDICT r1 item 4): MCLMC on a
+    LeNet/FashionMNIST-scale posterior (61,706 params x 60,000 synthetic
+    28x28 images, 12 chains), bf16 forward + fp32 energy accounting.
+
+    Reports steps/s, achieved model FLOP/s (from XLA's cost analysis of
+    the compiled sampling block), and MFU vs the chip's bf16 peak.
+    """
+    import numpy as np
+
+    from mile_tpu.bayes import BayesianModel, Prior
+    from mile_tpu.config import LeNetConfig, PriorDist, Task
+    from mile_tpu.mcmc import mclmc
+    from mile_tpu.models import build_model
+
+    PEAK_BF16 = 394e12 / 2  # TPU v5e: 197 TFLOP/s bf16 dense
+
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.rand(60_000, 1, 28, 28).astype(np.float32))
+    y = jnp.asarray(rs.randint(0, 10, size=(60_000,)).astype(np.int32))
+
+    module = build_model(LeNetConfig(out_dim=10))
+    template = module.init(jax.random.PRNGKey(1), x[:1])['params']
+    bayes = BayesianModel(module, template,
+                          Prior.from_name(PriorDist.STANDARD_NORMAL),
+                          Task.CLASSIFICATION,
+                          likelihood_chunk_size=chunk,
+                          compute_dtype=compute_dtype)
+    logdensity = bayes.logdensity_fn(x, y)
+    kernel = mclmc.build_kernel(logdensity)
+
+    keys = jax.random.split(jax.random.PRNGKey(2), N_CHAINS)
+    positions = jax.vmap(
+        lambda k: 0.05 * jax.random.normal(k, (bayes.dim,)))(keys)
+    states = jax.jit(jax.vmap(
+        lambda p, k: mclmc.init(p, logdensity, k)))(positions, keys)
+
+    n_steps = 30
+
+    def block(keys, states):
+        def chain(key, state):
+            def step(state, k):
+                state, info = kernel(k, state, jnp.asarray(1.0),
+                                     jnp.asarray(1e-4), 1.0)
+                return state, info.energy_change
+
+            state, de = jax.lax.scan(step, state,
+                                     jax.random.split(key, n_steps))
+            return state, de[-1]
+
+        return jax.vmap(chain)(keys, states)
+
+    lowered = jax.jit(block).lower(keys, states)
+    compiled = lowered.compile()
+    cost = compiled.cost_analysis() or {}
+    flops_per_block = float(cost.get('flops', 0.0))
+
+    states, _ = jax.block_until_ready(compiled(keys, states))  # warm
+    keys2 = jax.vmap(jax.random.fold_in)(
+        keys, jnp.ones(N_CHAINS, dtype=jnp.uint32))
+    t0 = time.perf_counter()
+    states, _ = jax.block_until_ready(compiled(keys2, states))
+    elapsed = time.perf_counter() - t0
+
+    steps_per_sec = N_CHAINS * n_steps / elapsed
+    achieved = flops_per_block / elapsed
+    print(json.dumps({
+        'metric': 'mclmc_lenet_fmnist_steps_per_sec',
+        'value': round(steps_per_sec, 2),
+        'unit': ('MCLMC steps/s (12 chains, 61.7k-param LeNet, 60k-image '
+                 'full-batch posterior, bf16 fwd + fp32 energy)'),
+        'model_tflops_per_sec': round(achieved / 1e12, 2),
+        'mfu_vs_bf16_peak': round(achieved / PEAK_BF16, 4),
+        'dtype': str(compute_dtype),
+        'likelihood_chunk_size': chunk,
+        'flops_per_step_per_chain': round(
+            flops_per_block / (N_CHAINS * n_steps) / 1e9, 3),
+    }))
+
+
 if __name__ == '__main__':
     import sys
 
+    if '--lenet-mfu' in sys.argv:
+        chunk = None
+        if '--chunk' in sys.argv:
+            chunk = int(sys.argv[sys.argv.index('--chunk') + 1])
+        dtype = ('float32' if '--f32' in sys.argv else 'bfloat16')
+        if '--cpu' in sys.argv:
+            jax.config.update('jax_platforms', 'cpu')
+        lenet_mfu(compute_dtype=dtype, chunk=chunk)
+        sys.exit(0)
     if '--reference-style-baseline' in sys.argv:
         os.environ['XLA_FLAGS'] = (os.environ.get('XLA_FLAGS', '') +
                                    f' --xla_force_host_platform_device_count='

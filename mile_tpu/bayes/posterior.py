@@ -60,17 +60,27 @@ class BayesianModel:
         task: Task,
         n_batches: int = 1,
         likelihood_chunk_size: int | None = None,
+        compute_dtype: jnp.dtype | str | None = None,
     ):
         """``likelihood_chunk_size``: evaluate the log-likelihood in
         rematerialized chunks of this many observations — bounds activation
         memory for full-batch gradients over large datasets (image BNNs)
         at the cost of recomputing forward activations in the backward
-        pass (SURVEY §7.4: trade FLOPs for HBM)."""
+        pass (SURVEY §7.4: trade FLOPs for HBM).
+
+        ``compute_dtype`` (e.g. ``'bfloat16'``): run the network forward
+        (and hence its MXU matmuls/convs) in this dtype while the
+        log-likelihood reduction, prior, and the sampler's energy
+        accounting stay float32 (SURVEY §7.4 numerics: bf16 compute,
+        fp32 accumulation). The flat parameter vector itself stays
+        float32 — casting happens inside the apply."""
         self.module = module
         self.prior = prior
         self.task = task
         self.n_batches = n_batches
         self.likelihood_chunk_size = likelihood_chunk_size
+        self.compute_dtype = (jnp.dtype(compute_dtype)
+                              if compute_dtype is not None else None)
         flat, unravel = ravel_pytree(params)
         self.dim = int(flat.size)
         self.unravel = unravel
@@ -90,11 +100,22 @@ class BayesianModel:
             return categorical_loglik(lvals, y)
         raise NotImplementedError(f'likelihood for {self.task} not implemented')
 
+    def _apply(self, params, x, **kwargs):
+        """Module forward in ``compute_dtype`` (if set), outputs float32."""
+        if self.compute_dtype is not None:
+            params = jax.tree.map(
+                lambda a: a.astype(self.compute_dtype)
+                if jnp.issubdtype(a.dtype, jnp.floating) else a, params)
+            if jnp.issubdtype(x.dtype, jnp.floating):
+                x = x.astype(self.compute_dtype)
+        lvals = self.module.apply({'params': params}, x, **kwargs)
+        return lvals.astype(jnp.float32)
+
     def log_likelihood(self, theta: jnp.ndarray, x, y, **kwargs) -> jnp.ndarray:
         chunk = self.likelihood_chunk_size
         params = self.unravel(theta)
         if not chunk or x.shape[0] <= chunk:
-            lvals = self.module.apply({'params': params}, x, **kwargs)
+            lvals = self._apply(params, x, **kwargs)
             return self._loglik_term(lvals, y)
 
         n = x.shape[0]
@@ -105,14 +126,12 @@ class BayesianModel:
         @jax.checkpoint
         def chunk_loglik(xy):
             xb, yb = xy
-            return self._loglik_term(
-                self.module.apply({'params': params}, xb, **kwargs), yb)
+            return self._loglik_term(self._apply(params, xb, **kwargs), yb)
 
         total = jnp.sum(jax.lax.map(chunk_loglik, (xc, yc)))
         if n_full < n:  # remainder chunk (static shape)
             total = total + self._loglik_term(
-                self.module.apply({'params': params}, x[n_full:], **kwargs),
-                y[n_full:])
+                self._apply(params, x[n_full:], **kwargs), y[n_full:])
         return total
 
     def log_posterior(self, theta: jnp.ndarray, x, y, **kwargs) -> jnp.ndarray:

@@ -104,6 +104,9 @@ class SamplerConfig(BaseConfig):
     # chunk+remat the log-likelihood over observations (None = full batch);
     # bounds HBM for large image datasets at the cost of recompute
     likelihood_chunk_size: Optional[int] = None
+    # run the network forward in this dtype ('bfloat16' targets the MXU's
+    # native rate) while likelihood/prior/energy accounting stay float32
+    compute_dtype: Optional[str] = None
     # HMC-only: number of leapfrog steps per proposal.
     num_integration_steps: int = 32
     # devices along a second mesh axis sharding the TRAINING SET within

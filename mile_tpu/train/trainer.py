@@ -85,7 +85,8 @@ class BDETrainer:
         self.prior = sampler_cfg.prior_config.build()
         self.bayes = BayesianModel(
             self.module, template, self.prior, config.data.task,
-            likelihood_chunk_size=sampler_cfg.likelihood_chunk_size)
+            likelihood_chunk_size=sampler_cfg.likelihood_chunk_size,
+            compute_dtype=sampler_cfg.compute_dtype)
         self._template = template
         logger.info('model dim=%d', self.bayes.dim)
 

@@ -151,3 +151,31 @@ def test_chunked_likelihood_matches_full():
     v2, g2 = jax.value_and_grad(chunked.logdensity_fn(x, y))(theta)
     assert np.isclose(float(v1), float(v2), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4)
+
+
+def test_bf16_compute_dtype_fp32_energy():
+    """compute_dtype='bfloat16': forward runs in bf16, but the density and
+    gradient come back float32 and stay within mixed-precision tolerance
+    of the f32 path (SURVEY §7.4 numerics: bf16 compute, fp32 energy)."""
+    cfg = FCNConfig(hidden_structure=[8, 2])
+    model = build_model(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (64, 5))
+    y = jax.random.normal(jax.random.PRNGKey(2), (64,))
+    params = model.init(jax.random.PRNGKey(0), x[:1])['params']
+    prior = Prior.from_name(PriorDist.STANDARD_NORMAL)
+    f32 = BayesianModel(model, params, prior, Task.REGRESSION)
+    bf16 = BayesianModel(model, params, prior, Task.REGRESSION,
+                         compute_dtype='bfloat16')
+    chunked = BayesianModel(model, params, prior, Task.REGRESSION,
+                            compute_dtype='bfloat16',
+                            likelihood_chunk_size=16)
+    theta = f32.flatten(params)
+    v1, g1 = jax.value_and_grad(f32.logdensity_fn(x, y))(theta)
+    v2, g2 = jax.value_and_grad(bf16.logdensity_fn(x, y))(theta)
+    v3, _ = jax.value_and_grad(chunked.logdensity_fn(x, y))(theta)
+    assert v2.dtype == jnp.float32 and g2.dtype == jnp.float32
+    assert abs(float(v2) - float(v1)) / abs(float(v1)) < 0.05
+    assert abs(float(v3) - float(v2)) / max(abs(float(v2)), 1.0) < 0.02
+    cos = float(jnp.dot(g1, g2)
+                / (jnp.linalg.norm(g1) * jnp.linalg.norm(g2)))
+    assert cos > 0.999
