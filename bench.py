@@ -237,16 +237,20 @@ def lenet_mfu(compute_dtype='bfloat16', chunk=None) -> None:
 
         return jax.vmap(chain)(keys, states)
 
-    lowered = jax.jit(block).lower(keys, states)
-    compiled = lowered.compile()
-    cost = compiled.cost_analysis() or {}
-    flops_per_block = float(cost.get('flops', 0.0))
+    run = jax.jit(block)
+    # client-side HLO flop count (works over the remote-compile tunnel;
+    # executable-side cost_analysis can hang there)
+    try:
+        cost = run.lower(keys, states).cost_analysis() or {}
+        flops_per_block = float(cost.get('flops', 0.0))
+    except Exception:
+        flops_per_block = 0.0
 
-    states, _ = jax.block_until_ready(compiled(keys, states))  # warm
+    states, _ = jax.block_until_ready(run(keys, states))  # warm
     keys2 = jax.vmap(jax.random.fold_in)(
         keys, jnp.ones(N_CHAINS, dtype=jnp.uint32))
     t0 = time.perf_counter()
-    states, _ = jax.block_until_ready(compiled(keys2, states))
+    states, _ = jax.block_until_ready(run(keys2, states))
     elapsed = time.perf_counter() - t0
 
     steps_per_sec = N_CHAINS * n_steps / elapsed

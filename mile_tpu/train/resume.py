@@ -81,6 +81,18 @@ class SamplerCheckpoint:
         tmp.write_text(json.dumps(meta))
         os.replace(tmp, self.dir / _META)
 
+    def save_warmup_trace(self, trace: np.ndarray) -> None:
+        """Persist the thinned warmup trajectory so a resumed run's
+        artifacts match an uninterrupted one (keep_warmup parity)."""
+        tmp = self.dir / 'warmup_trace.npy.tmp'
+        with open(tmp, 'wb') as f:  # np.save(path) would append '.npy'
+            np.save(f, np.asarray(trace))
+        os.replace(tmp, self.dir / 'warmup_trace.npy')
+
+    def load_warmup_trace(self):
+        p = self.dir / 'warmup_trace.npy'
+        return np.load(p) if p.exists() else None
+
     def save_chunk(self, index: int, positions: np.ndarray,
                    aux: dict) -> None:
         """``aux``: per-draw statistics (flat dict of arrays)."""
@@ -141,7 +153,7 @@ class SamplerCheckpoint:
 
         for p in self.dir.glob('chunk_*.npz'):
             p.unlink()
-        for name in (_SNAPSHOT, _META):
+        for name in (_SNAPSHOT, _META, 'warmup_trace.npy'):
             (self.dir / name).unlink(missing_ok=True)
         shutil.rmtree(self.dir / _SNAPSHOT_ORBAX, ignore_errors=True)
         try:

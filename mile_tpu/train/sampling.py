@@ -166,6 +166,7 @@ def run_mclmc(
             step_size=jnp.asarray(tuned_arrays['step_size']),
             sqrt_diag_cov=jnp.asarray(tuned_arrays['sqrt_diag_cov']))
         restored_keys = keys_from_data(key_data)
+        warmup_trace = ckpt_mgr.load_warmup_trace()
     else:
         logger.info('> starting MCLMC warmup (%d chains, %d steps)...',
                     n_chains, cfg.warmup_steps)
@@ -175,6 +176,9 @@ def run_mclmc(
                     np.asarray(params.step_size), np.asarray(params.L))
         kept_done = 0
         restored_keys = None
+        if ckpt_mgr is not None and warmup_trace is not None:
+            # persist so a resumed run's artifacts match an uninterrupted one
+            ckpt_mgr.save_warmup_trace(jax.device_get(warmup_trace))
 
     def chain_block(key, state, L, step_size, sqrt_diag_cov, aux, n_block):
         """One chain: n_block kept draws (thin kernel steps each)."""

@@ -58,6 +58,33 @@ def run_hmc_family(
     checkpoint_dir=None,
     checkpoint_format: str = 'npz',
 ) -> SamplingResult:
+    """Metropolis-corrected samplers need exact f32 energies: TPU matmuls
+    default to bf16 MXU passes, and on BNN posteriors (|logp| ~ 1e3-1e4
+    full-batch) that noise floor swamps the O(1) ΔH the acceptance test
+    and the step-size adaptation read — measured on bikesharing: CPU-f32
+    adaptation lands at ε≈6e-4 / 0.95 acceptance while the same code at
+    TPU-default precision collapsed to ε≈1e-6. The whole runtime traces
+    under ``default_matmul_precision('float32')``; MCLMC (no MH test,
+    energy-variance-controlled) keeps the fast default."""
+    with jax.default_matmul_precision('float32'):
+        return _run_hmc_family(
+            logdensity_fn, cfg, rng_key, init_positions, mesh,
+            max_chunk_bytes, sample_sink, chain_aux, checkpoint_dir,
+            checkpoint_format)
+
+
+def _run_hmc_family(
+    logdensity_fn: Callable,
+    cfg: SamplerConfig,
+    rng_key: jax.Array,
+    init_positions: jnp.ndarray,
+    mesh=None,
+    max_chunk_bytes: int = 1 << 30,
+    sample_sink=None,
+    chain_aux=None,
+    checkpoint_dir=None,
+    checkpoint_format: str = 'npz',
+) -> SamplingResult:
     from mile_tpu.train.sampling import _bind, _snapshot
 
     n_chains, dim = init_positions.shape
@@ -114,6 +141,7 @@ def run_hmc_family(
         inverse_mass_matrix = jnp.asarray(
             tuned_arrays['inverse_mass_matrix'])
         restored_keys = keys_from_data(key_data)
+        warmup_trace = ckpt_mgr.load_warmup_trace()
     else:
         kept_done = 0
         restored_keys = None
@@ -155,6 +183,8 @@ def run_hmc_family(
             np.asarray(step_size),
             np.asarray(warmup_stats['bracketed_step_size']),
             np.asarray(warmup_stats['final_buffer_acceptance']), 0.8)
+        if ckpt_mgr is not None and warmup_trace is not None:
+            ckpt_mgr.save_warmup_trace(jax.device_get(warmup_trace))
 
     def chain_block(key, state, eps, imm, aux, n_block):
         kernel = make_kernel(_bind(logdensity_fn, aux))

@@ -41,14 +41,14 @@ def test_plot_results_script(tmp_path):
 
     sys.path.insert(0, 'experiments')
     import pandas as pd
-    from plot_results import plot_metric_by_axis
+    from plot_results import metric_by_axis_figure
 
     df = pd.DataFrame({
         'lppd': [-1.0, -1.2, -0.8, -0.9],
         'data.path': ['a', 'a', 'b', 'b'],
         'training.sampler.name': ['mclmc', 'nuts', 'mclmc', 'nuts'],
     })
-    assert plot_metric_by_axis(df, 'lppd', 'data.path', tmp_path)
+    assert metric_by_axis_figure(df, 'lppd', 'data.path', tmp_path)
     assert len(list(tmp_path.glob('*.png'))) == 1
 
 
