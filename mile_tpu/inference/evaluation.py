@@ -131,8 +131,11 @@ def predict_from_flat(module, unravel, flat_samples: jnp.ndarray,
 
     @jax.jit
     def batch_predict(thetas, xb):
-        return jax.vmap(
-            lambda t: module.apply({'params': unravel(t)}, xb))(thetas)
+        # metrics are energy-like quantities: keep matmuls exact f32 so
+        # LPPD/RMSE don't inherit the TPU's default-bf16 matmul noise
+        with jax.default_matmul_precision('float32'):
+            return jax.vmap(
+                lambda t: module.apply({'params': unravel(t)}, xb))(thetas)
 
     outs = []
     for i in range(0, n_samples, s_chunk):
@@ -302,7 +305,8 @@ def evaluate_de(
     metrics_dict = dict(metrics_dict or {})
     rng_key = jax.random.PRNGKey(42) if rng_key is None else rng_key
 
-    preds = jax.vmap(lambda p: module.apply({'params': p}, x))(params)
+    with jax.default_matmul_precision('float32'):
+        preds = jax.vmap(lambda p: module.apply({'params': p}, x))(params)
 
     pw = M.pointwise_lppd(preds[:, None], y, task)  # members as chains
     metrics_dict['de_lppd'] = float(M.lppd(pw))
