@@ -238,13 +238,20 @@ def lenet_mfu(compute_dtype='bfloat16', chunk=None) -> None:
         return jax.vmap(chain)(keys, states)
 
     run = jax.jit(block)
-    # client-side HLO flop count (works over the remote-compile tunnel;
-    # executable-side cost_analysis can hang there)
+    # Model-FLOPs accounting (MFU convention: required FLOPs only, remat
+    # recompute excluded). LeNet forward per image: conv1 28x28x6x25x2 +
+    # conv2 10x10x16x150x2 + fc 400->120->84->10 = 833,040 FLOP; one
+    # gradient = 3x forward; one MCLMC step = 2 gradients over the full
+    # 60k batch. XLA's client-side cost_analysis is used when available.
+    fwd_flops_per_img = 833_040
+    flops_per_step_chain = 2 * 3 * fwd_flops_per_img * x.shape[0]
+    flops_per_block = float(flops_per_step_chain) * N_CHAINS * n_steps
     try:
         cost = run.lower(keys, states).cost_analysis() or {}
-        flops_per_block = float(cost.get('flops', 0.0))
+        if cost.get('flops'):
+            flops_per_block = float(cost['flops'])
     except Exception:
-        flops_per_block = 0.0
+        pass
 
     states, _ = jax.block_until_ready(run(keys, states))  # warm
     keys2 = jax.vmap(jax.random.fold_in)(
