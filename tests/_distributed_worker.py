@@ -49,6 +49,21 @@ from jax.experimental import multihost_utils  # noqa: E402
 # gather the chain-sharded result to every host (cross-process allgather)
 positions_full = multihost_utils.process_allgather(positions, tiled=True)
 
+# orbax across processes: every process writes ITS OWN shards of the
+# chain-sharded array, restore places them back onto the global mesh
+from mile_tpu.train.checkpoint_orbax import (  # noqa: E402
+    load_ensemble,
+    save_ensemble,
+)
+
+ckpt_dir = os.path.join(outdir, 'orbax_ens')
+save_ensemble(ckpt_dir, {'positions': positions})
+restored = load_ensemble(ckpt_dir, template={'positions': positions})
+restored_full = multihost_utils.process_allgather(restored['positions'],
+                                                  tiled=True)
+assert np.array_equal(np.asarray(restored_full),
+                      np.asarray(positions_full)), 'orbax roundtrip mismatch'
+
 if rank == 0:
     np.savez(os.path.join(outdir, 'distributed.npz'),
              positions=np.asarray(positions_full),
