@@ -206,3 +206,47 @@ def test_nuts_keep_warmup_trace():
     assert trace.shape[0] == 2 and trace.shape[2] == dim
     assert trace.shape[1] >= 100  # thinned warmup positions
     assert np.isfinite(trace).all()
+
+
+def test_hmc_family_traces_with_f32_matmul_precision():
+    """Guard the numerics policy: every dot in the NUTS warmup+sampling
+    program must carry Precision.HIGHEST (TPU default-bf16 matmul noise
+    otherwise swamps the MH delta-H — measured ~16 logp units on
+    bikesharing, docs/DESIGN.md decision 5)."""
+    import jax.numpy as jnp
+
+    dim = 8
+    w = jnp.eye(dim) * 0.5
+
+    def logdensity(x):
+        return -0.5 * jnp.sum((w @ x) ** 2)
+
+    captured = []
+
+    def probe(logdensity_fn, cfg, key, positions, *a, **k):
+        def wrapped(x):
+            return logdensity_fn(x)
+
+        jaxpr = jax.make_jaxpr(wrapped)(positions[0])
+        captured.extend(
+            eqn.params.get('precision') for eqn in jaxpr.jaxpr.eqns
+            if eqn.primitive.name in ('dot_general', 'conv_general_dilated'))
+        raise _Stop()
+
+    class _Stop(Exception):
+        pass
+
+    import mile_tpu.train.sampling_hmc as sh
+
+    orig = sh._run_hmc_family
+    sh._run_hmc_family = probe
+    try:
+        cfg = SamplerConfig(name=Sampler.NUTS, warmup_steps=25, n_chains=1,
+                            n_samples=4, step_size_init=0.1)
+        x0 = jnp.ones((1, dim))
+        with pytest.raises(_Stop):
+            run_hmc_family(logdensity, cfg, jax.random.PRNGKey(0), x0)
+    finally:
+        sh._run_hmc_family = orig
+    assert captured, 'no matmuls traced'
+    assert all(p is not None and 'HIGHEST' in str(p) for p in captured), captured
