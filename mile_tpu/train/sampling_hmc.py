@@ -194,6 +194,8 @@ def _run_hmc_family(
                 state, info = kernel(k, state, eps, imm)
                 return state, info
 
+            # no unroll: each inner step is a full NUTS tree (while_loops);
+            # unrolling only bloats the program
             state, infos = jax.lax.scan(inner, state,
                                         jax.random.split(key, thin))
             return state, (state.position, _aggregate_thin(infos._asdict()))
