@@ -106,6 +106,49 @@ def test_torchvision_gated_error():
         ImageLoader(cfg, jax.random.PRNGKey(0))
 
 
+def test_torchvision_download_path(monkeypatch):
+    """Exercise the torchvision branch offline with a faked module.
+
+    The reference downloads MNIST/FashionMNIST/CIFAR10 via torchvision
+    (/root/reference/src/dataset/image.py:16-291); the package is absent
+    in this image, so the branch's real logic (train+test concat, NHWC →
+    NCHW transpose, /255 normalize, split) is driven through a stub that
+    mimics ``torchvision.datasets.<Name>(root, train=..., download=...)``.
+    """
+    import sys
+    import types
+
+    rng = np.random.default_rng(3)
+
+    class _FakeCIFAR:
+        def __init__(self, root, train, download):
+            assert download is True
+            n = 48 if train else 16
+            # torchvision CIFAR10 exposes uint8 NHWC .data + list targets
+            self.data = rng.integers(0, 255, (n, 8, 8, 3)).astype(np.uint8)
+            self.targets = list(rng.integers(0, 10, n))
+
+    fake = types.ModuleType('torchvision')
+    fake.datasets = types.SimpleNamespace(CIFAR10=_FakeCIFAR)
+    monkeypatch.setitem(sys.modules, 'torchvision', fake)
+
+    cfg = DataConfig(path='CIFAR10', source='torchvision',
+                     data_type=DatasetType.IMAGE, task=Task.CLASSIFICATION,
+                     train_split=0.75, valid_split=0.125, test_split=0.125)
+    loader = ImageLoader(cfg, jax.random.PRNGKey(0))
+    x, y = loader.arrays('train')
+    assert x.shape == (48, 3, 8, 8)            # 64 total * 0.75, NCHW
+    assert float(x.max()) <= 1.0 and float(x.min()) >= 0.0
+    assert y.dtype == jnp.int32
+    assert len(loader) == 64                   # train+test concatenated
+
+    # unsupported dataset names are rejected before any download attempt
+    bad = DataConfig(path='SVHN', source='torchvision',
+                     data_type=DatasetType.IMAGE, task=Task.CLASSIFICATION)
+    with pytest.raises(ValueError, match='SVHN'):
+        ImageLoader(bad, jax.random.PRNGKey(0))
+
+
 def test_config_json_roundtrip(tmp_path):
     cfg = DataConfig(path='data/airfoil.data')
     p = tmp_path / 'cfg.json'
