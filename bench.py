@@ -279,9 +279,105 @@ def lenet_mfu(compute_dtype='bfloat16', chunk=None) -> None:
     }))
 
 
+def fcn_mfu(compute_dtype='bfloat16', chunk=8192, width=512) -> None:
+    """Matmul-dominated device-perf point: MCLMC on a wide-FCN posterior.
+
+    LeNet's MFU ceiling is architectural (6/16-channel convs fill <13% of
+    the 128-wide MXU lanes). This workload removes that bound: FCN
+    [width, width, width, 2] over 65,536 synthetic rows x 128 features —
+    every hot op is a (batch x 512)-class matmul that tiles the MXU
+    fully, so the number here is the framework's *realizable* sampling
+    MFU when the model supplies the FLOPs (reference has no analogous
+    measurement; SURVEY §6 notes it publishes no perf numbers at all).
+    """
+    import numpy as np
+
+    from mile_tpu.bayes import BayesianModel, Prior
+    from mile_tpu.config import FCNConfig, PriorDist, Task
+    from mile_tpu.mcmc import mclmc
+    from mile_tpu.models import build_model
+
+    PEAK_BF16 = 394e12 / 2  # TPU v5e: 197 TFLOP/s bf16 dense
+
+    n_rows, n_feat = 65_536, 128
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.rand(n_rows, n_feat).astype(np.float32))
+    y = jnp.asarray(rs.rand(n_rows).astype(np.float32))
+
+    module = build_model(FCNConfig(hidden_structure=[width, width, width, 2]))
+    template = module.init(jax.random.PRNGKey(1), x[:1])['params']
+    bayes = BayesianModel(module, template,
+                          Prior.from_name(PriorDist.STANDARD_NORMAL),
+                          Task.REGRESSION,
+                          likelihood_chunk_size=chunk,
+                          compute_dtype=compute_dtype)
+    logdensity = bayes.logdensity_fn(x, y)
+    kernel = mclmc.build_kernel(logdensity)
+
+    keys = jax.random.split(jax.random.PRNGKey(2), N_CHAINS)
+    positions = jax.vmap(
+        lambda k: 0.02 * jax.random.normal(k, (bayes.dim,)))(keys)
+    states = jax.jit(jax.vmap(
+        lambda p, k: mclmc.init(p, logdensity, k)))(positions, keys)
+
+    n_steps = 10
+
+    def block(keys, states):
+        def chain(key, state):
+            def step(state, k):
+                state, info = kernel(k, state, jnp.asarray(1.0),
+                                     jnp.asarray(1e-5), 1.0)
+                return state, info.energy_change
+
+            state, de = jax.lax.scan(step, state,
+                                     jax.random.split(key, n_steps))
+            return state, de[-1]
+
+        return jax.vmap(chain)(keys, states)
+
+    run = jax.jit(block)
+    # model FLOPs (MFU convention, remat recompute excluded): fwd =
+    # 2 * rows * (feat*w + w*w + w*w + w*2); grad = 3x fwd; step = 2 grads
+    fwd = 2 * n_rows * (n_feat * width + 2 * width * width + width * 2)
+    flops_per_block = float(2 * 3 * fwd) * N_CHAINS * n_steps
+
+    states, _ = jax.block_until_ready(run(keys, states))  # warm
+    keys2 = jax.vmap(jax.random.fold_in)(
+        keys, jnp.ones(N_CHAINS, dtype=jnp.uint32))
+    t0 = time.perf_counter()
+    states, _ = jax.block_until_ready(run(keys2, states))
+    elapsed = time.perf_counter() - t0
+
+    steps_per_sec = N_CHAINS * n_steps / elapsed
+    achieved = flops_per_block / elapsed
+    print(json.dumps({
+        'metric': 'mclmc_wide_fcn_steps_per_sec',
+        'value': round(steps_per_sec, 2),
+        'unit': (f'MCLMC steps/s (12 chains, {bayes.dim}-param FCN '
+                 f'[{width}x3], 65k-row full-batch posterior, '
+                 f'{compute_dtype} fwd + fp32 energy)'),
+        'model_tflops_per_sec': round(achieved / 1e12, 2),
+        'mfu_vs_bf16_peak': round(achieved / PEAK_BF16, 4),
+        'dtype': str(compute_dtype),
+        'likelihood_chunk_size': chunk,
+    }))
+
+
 if __name__ == '__main__':
     import sys
 
+    if '--fcn-mfu' in sys.argv:
+        chunk = 8192
+        if '--chunk' in sys.argv:
+            chunk = int(sys.argv[sys.argv.index('--chunk') + 1]) or None
+        width = 512
+        if '--width' in sys.argv:
+            width = int(sys.argv[sys.argv.index('--width') + 1])
+        dtype = ('float32' if '--f32' in sys.argv else 'bfloat16')
+        if '--cpu' in sys.argv:
+            jax.config.update('jax_platforms', 'cpu')
+        fcn_mfu(compute_dtype=dtype, chunk=chunk, width=width)
+        sys.exit(0)
     if '--lenet-mfu' in sys.argv:
         chunk = None
         if '--chunk' in sys.argv:
