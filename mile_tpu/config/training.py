@@ -109,6 +109,11 @@ class SamplerConfig(BaseConfig):
     compute_dtype: Optional[str] = None
     # HMC-only: number of leapfrog steps per proposal.
     num_integration_steps: int = 32
+    # NUTS/HMC-only: dual-averaging acceptance target for window
+    # adaptation (Stan default 0.8; raise towards 0.9 to trade step size
+    # for fewer divergences — r2 measured 6.1% divergent draws at 0.8 on
+    # bikesharing with mean acceptance landing slightly below target)
+    target_acceptance: float = 0.8
     # devices along a second mesh axis sharding the TRAINING SET within
     # each chain group (log-lik contributions psum'd over ICI by GSPMD);
     # lets n_chains < n_devices use every chip. 1 = chain axis only.
@@ -135,6 +140,8 @@ class SamplerConfig(BaseConfig):
             raise ConfigError('sampler.n_thinning must be >= 1')
         if self.data_sharding < 1:
             raise ConfigError('sampler.data_sharding must be >= 1')
+        if not 0.0 < self.target_acceptance < 1.0:
+            raise ConfigError('sampler.target_acceptance must be in (0, 1)')
 
 
 # -------------------------------------------------------------- tokenizer

@@ -247,6 +247,10 @@ def evaluate_bde(
     # not NaN the whole curve (reference computes it post-filter too,
     # evaluation.py:493-497 + metrics.py:428-446)
     metrics_dict['running_lppd'] = np.asarray(M.running_lppd(pw))
+    # per-chain curves for the report's LPPD-vs-samples family
+    # (reference notebook cell 22 / visualization/samples.py:280-318)
+    metrics_dict['running_lppd_per_chain'] = np.asarray(
+        M.running_lppd_per_chain(pw))
     per_chain = [float(M.lppd(M.pointwise_lppd(p, y, task))) for p in preds]
     metrics_dict['lppd_per_chain'] = per_chain
 

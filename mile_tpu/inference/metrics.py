@@ -151,12 +151,17 @@ def lppd(lppd_pointwise: jnp.ndarray) -> jnp.ndarray:
     return jax.scipy.special.logsumexp(lppd_pointwise, b=b, axis=axes).mean()
 
 
-def running_lppd(lppd_pointwise: jnp.ndarray) -> jnp.ndarray:
-    """Running LPPD over the sample axis: (n_samples,)."""
+def running_lppd_per_chain(lppd_pointwise: jnp.ndarray) -> jnp.ndarray:
+    """Per-chain running LPPD over the sample axis: (n_chains, n_samples)."""
     p = jnp.exp(lppd_pointwise)
     cummean = jnp.cumsum(p, axis=-2) / jnp.arange(
         1, p.shape[-2] + 1)[..., :, None]
-    return jnp.log(cummean).mean(axis=-1).mean(axis=0)
+    return jnp.log(cummean).mean(axis=-1)
+
+
+def running_lppd(lppd_pointwise: jnp.ndarray) -> jnp.ndarray:
+    """Running LPPD over the sample axis: (n_samples,)."""
+    return running_lppd_per_chain(lppd_pointwise).mean(axis=0)
 
 
 def gaussian_nlll(y: jnp.ndarray, mu: jnp.ndarray, sigma: jnp.ndarray):

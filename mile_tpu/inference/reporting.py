@@ -102,15 +102,24 @@ def compute_diagnostics(samples: np.ndarray, template_params=None,
             continue
         rows[name] = {k: float(np.nanmean(v[in_layer]))
                       for k, v in vals.items()}
+        # self-describing subsampling: per_param_diagnostics caps the
+        # diagnosed coordinates (max_params), so big-layer means are
+        # estimates — record how many coords backed each row (VERDICT r2
+        # weak 5)
+        rows[name]['n_coords'] = int(in_layer.sum())
+        rows[name]['layer_size'] = int(
+            (sl.stop if sl.stop is not None else samples.shape[-1])
+            - (sl.start or 0))
     return rows
 
 
 def write_diagnostics_csv(path: Path, rows: dict) -> None:
+    cols = ('ess', 'bcv', 'wcv', 'split_rhat', 'n_coords', 'layer_size')
     with open(path, 'w') as f:
-        f.write('layer,ess,bcv,wcv,split_rhat\n')
+        f.write('layer,' + ','.join(cols) + '\n')
         for name, r in rows.items():
-            f.write(f'{name},{r["ess"]},{r["bcv"]},{r["wcv"]},'
-                    f'{r["split_rhat"]}\n')
+            f.write(name + ',' + ','.join(str(r.get(c, '')) for c in cols)
+                    + '\n')
 
 
 def _table(d: dict) -> str:
@@ -243,6 +252,7 @@ def generate_report(exp_dir: str | Path, config=None) -> Path:
             pickle.dump(metrics, f)
 
     running = metrics.pop('running_lppd', None)
+    running_pc = metrics.pop('running_lppd_per_chain', None)
     sections = [
         '<h1>MILE-TPU experiment report</h1>',
         f'<p>experiment dir: {html.escape(str(exp_dir))}</p>',
@@ -256,10 +266,18 @@ def generate_report(exp_dir: str | Path, config=None) -> Path:
             import matplotlib.pyplot as plt
 
             fig, ax = plt.subplots(figsize=(6, 3))
-            ax.plot(np.asarray(running))
+            if running_pc is not None:
+                # per-chain curves behind the pooled one (reference
+                # notebook cell 22 LPPD-vs-samples family)
+                for curve in np.asarray(running_pc):
+                    ax.plot(curve, lw=0.7, alpha=0.4, color='grey')
+            ax.plot(np.asarray(running), lw=1.8, color='#3D348B',
+                    label='pooled')
             ax.set_xlabel('draw')
             ax.set_ylabel('running LPPD')
-            sections += ['<h2>Running LPPD</h2>', _embed_figure(fig)]
+            ax.legend(loc='lower right', fontsize=8)
+            sections += ['<h2>Running LPPD (per chain + pooled)</h2>',
+                         _embed_figure(fig)]
         except Exception:
             logger.exception('running LPPD plot failed')
     ws_png = exp_dir / 'warmstart' / 'warmstart_curves.png'
@@ -283,7 +301,8 @@ def generate_report(exp_dir: str | Path, config=None) -> Path:
         write_diagnostics_csv(exp_dir / 'diagnostics.csv', diag)
         sections += ['<h2>Chain diagnostics (per layer)</h2>',
                      _table({k: f"ESS={v['ess']:.1f} R-hat={v['split_rhat']:.3f} "
-                                f"BCV={v['bcv']:.4g} WCV={v['wcv']:.4g}"
+                                f"BCV={v['bcv']:.4g} WCV={v['wcv']:.4g} "
+                                f"(n={v['n_coords']}/{v['layer_size']})"
                              for k, v in diag.items()})]
         try:
             from mile_tpu import viz
@@ -303,6 +322,7 @@ def generate_report(exp_dir: str | Path, config=None) -> Path:
             sections += [
                 '<h2>Plots</h2>',
                 _embed_figure(viz.plot_param_movement(samples)),
+                _embed_figure(viz.plot_param_hist(samples)),
                 _embed_figure(viz.plot_pca(samples)),
                 _embed_figure(plot_per_layer_box(
                     by_layer('ess'), 'effective sample size', None)),

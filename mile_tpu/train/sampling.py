@@ -194,11 +194,17 @@ def run_mclmc(
             state, de = jax.lax.scan(
                 inner, state, jax.random.split(key, thin),
                 unroll=min(thin, 4))
-            return state, (state.position, de[-1])
+            # aggregate ΔE over the WHOLE thin block (mean + mean of
+            # squares, so Var[ΔE] — the quantity MCLMC tuning controls —
+            # is recoverable per kept draw); keeping only de[-1] made
+            # energy health invisible for (thin-1)/thin of the steps
+            # (VERDICT r2 weak 4; mirrors _THIN_AGG in sampling_hmc.py)
+            return state, (state.position,
+                           (jnp.mean(de), jnp.mean(de * de)))
 
-        state, (positions, de) = jax.lax.scan(
+        state, (positions, (de, de_sq)) = jax.lax.scan(
             outer, state, jax.random.split(key, n_block))
-        return state, positions, de
+        return state, positions, (de, de_sq)
 
     aux_axis = None if chain_aux is None else 0
     block_fn = jax.jit(
@@ -243,7 +249,7 @@ def run_mclmc(
         block = min(chunk_kept, n_kept - kept_done)
         chain_keys = jax.vmap(jax.random.fold_in)(
             chain_keys, jnp.full(n_chains, chunk, dtype=jnp.uint32))
-        state, positions, de = block_fn(
+        state, positions, (de, de_sq) = block_fn(
             chain_keys, state, params.L, params.step_size,
             params.sqrt_diag_cov, chain_aux, block)
         if pending is not None:
@@ -251,8 +257,9 @@ def run_mclmc(
                    ckpt_mgr, tuned_dict)
         # (chains, block, dim) already chain-major; the carry (state,
         # keys) as of THIS chunk rides along for the resume snapshot
-        pending = (positions, {'energy_change': de}, kept_done, state,
-                   chain_keys, chunk, kept_done + block)
+        pending = (positions,
+                   {'energy_change': de, 'energy_change_sq': de_sq},
+                   kept_done, state, chain_keys, chunk, kept_done + block)
         kept_done += block
     _drain(pending, host_chunks, energy_chunks, sample_sink, ckpt_mgr,
            tuned_dict)

@@ -162,6 +162,7 @@ def _run_hmc_family(
                 make_kernel(logdensity), state, key, cfg.warmup_steps,
                 initial_step_size=cfg.step_size_init if cfg.step_size_init
                 else 1.0,
+                target_acceptance_rate=cfg.target_acceptance,
                 trace_every=trace_every,
                 logdensity_fn=logdensity,
                 return_stats=True)
@@ -182,7 +183,8 @@ def _run_hmc_family(
             '  terminal-buffer acceptance=%s (target %.2f)',
             np.asarray(step_size),
             np.asarray(warmup_stats['bracketed_step_size']),
-            np.asarray(warmup_stats['final_buffer_acceptance']), 0.8)
+            np.asarray(warmup_stats['final_buffer_acceptance']),
+            cfg.target_acceptance)
         if ckpt_mgr is not None and warmup_trace is not None:
             ckpt_mgr.save_warmup_trace(jax.device_get(warmup_trace))
 
