@@ -41,7 +41,17 @@ class MCLMCTuningParams(NamedTuple):
 
 
 class TuningConfig(NamedTuple):
-    """Static knobs (mirror SamplerConfig fields)."""
+    """Static knobs (mirror SamplerConfig fields).
+
+    The numeric fields (step_size_init, desired_energy_var_*,
+    trust_in_estimate, num_effective_samples) are DEFAULTS: at run time
+    they travel as a :class:`TuningRuntime` of traced scalars, so a
+    hyper-parameter sweep over them reuses ONE compiled tuner program
+    (baking them as trace constants forced a fresh 4-15 min remote
+    compile per grid value). Only genuinely structural knobs
+    (warmup_steps = scan lengths, phase_ratio, diagonal_preconditioning,
+    integrator, the FFT caps, trace_every) stay compile-time.
+    """
 
     warmup_steps: int = 1000
     phase_ratio: tuple = (0.8, 0.1, 0.1)
@@ -56,19 +66,44 @@ class TuningConfig(NamedTuple):
     ess_samples_limit: int = 10000  # trace-length cap for phase-3 FFT
     trace_every: int = 0  # keep every Nth phase-1/2 position (0 = none)
 
+    def runtime(self) -> 'TuningRuntime':
+        return TuningRuntime(
+            step_size_init=jnp.asarray(self.step_size_init, jnp.float32),
+            desired_energy_var_start=jnp.asarray(
+                self.desired_energy_var_start, jnp.float32),
+            desired_energy_var_end=jnp.asarray(
+                self.desired_energy_var_end, jnp.float32),
+            trust_in_estimate=jnp.asarray(
+                self.trust_in_estimate, jnp.float32),
+            num_effective_samples=jnp.asarray(
+                self.num_effective_samples, jnp.float32),
+        )
 
-def _energy_var_schedule(cfg: TuningConfig, total_steps: int):
-    start, end = cfg.desired_energy_var_start, cfg.desired_energy_var_end
-    if start > 2.0:
-        tau = total_steps / 4.0
 
-        def sched(step):
-            decay = jnp.exp(-step / tau)
-            return start * decay + end * (1.0 - decay)
-    else:
-        def sched(step):
-            progress = jnp.minimum(step / total_steps, 1.0)
-            return start - (start - end) * progress
+class TuningRuntime(NamedTuple):
+    """Numeric tuning knobs as traced scalars (one compile per SHAPE of
+    sweep, not per value)."""
+
+    step_size_init: jnp.ndarray
+    desired_energy_var_start: jnp.ndarray
+    desired_energy_var_end: jnp.ndarray
+    trust_in_estimate: jnp.ndarray
+    num_effective_samples: jnp.ndarray
+
+
+def _energy_var_schedule(rt: TuningRuntime, total_steps: int):
+    """Reference decay schedules (warmup.py:249-269): exponential when the
+    start target is large (>2), else linear. The branch condition is a
+    traced value now, so both arms are computed and selected."""
+    start, end = rt.desired_energy_var_start, rt.desired_energy_var_end
+    tau = total_steps / 4.0
+
+    def sched(step):
+        decay = jnp.exp(-step / tau)
+        exp_val = start * decay + end * (1.0 - decay)
+        progress = jnp.minimum(step / total_steps, 1.0)
+        lin_val = start - (start - end) * progress
+        return jnp.where(start > 2.0, exp_val, lin_val)
 
     return sched
 
@@ -100,10 +135,11 @@ def _reject_nonfinite(prev_state, new_state, step_size, step_size_max,
     return ok, state, step_size_max, energy_change
 
 
-def _make_phase12_step(kernel, dim, cfg: TuningConfig, total_steps: int):
-    sched = _energy_var_schedule(cfg, total_steps)
-    decay = (cfg.num_effective_samples - 1.0) / (cfg.num_effective_samples + 1.0)
-    trust = cfg.trust_in_estimate
+def _make_phase12_step(kernel, dim, rt: TuningRuntime, total_steps: int):
+    sched = _energy_var_schedule(rt, total_steps)
+    decay = ((rt.num_effective_samples - 1.0)
+             / (rt.num_effective_samples + 1.0))
+    trust = rt.trust_in_estimate
 
     def one_step(carry: _AdaptState, xs):
         in_phase2, step_number, rng_key = xs
@@ -166,11 +202,17 @@ def mclmc_tune(
     position: jnp.ndarray,
     rng_key: jax.Array,
     cfg: TuningConfig,
+    rt: TuningRuntime | None = None,
 ) -> tuple[mclmc.MCLMCState, MCLMCTuningParams]:
     """Tune (ε, L, sqrt_diag_cov) for one chain starting at ``position``.
 
-    vmap over (position, rng_key) for multi-chain tuning.
+    vmap over (position, rng_key) for multi-chain tuning. Pass ``rt``
+    explicitly (as a jit argument) so numeric-knob sweeps share one
+    compiled program; when None it is built from ``cfg`` (the values
+    become trace constants — fine outside sweeps).
     """
+    if rt is None:
+        rt = cfg.runtime()
     dim = position.shape[0]
     kernel = mclmc.build_kernel(logdensity_fn, integrator=cfg.integrator)
 
@@ -182,11 +224,11 @@ def mclmc_tune(
     state = mclmc.init(position, logdensity_fn, init_key)
     params = MCLMCTuningParams(
         L=jnp.maximum(jnp.sqrt(1.0 * dim), 15.0),
-        step_size=jnp.asarray(cfg.step_size_init),
+        step_size=jnp.asarray(rt.step_size_init),
         sqrt_diag_cov=jnp.ones((dim,)),
     )
 
-    one_step = _make_phase12_step(kernel, dim, cfg, t1 + t2 + 1)
+    one_step = _make_phase12_step(kernel, dim, rt, t1 + t2 + 1)
 
     def run_steps(state, params, in_phase2, keys, start_step):
         """One flat scan; optionally traced with a two-level scan that

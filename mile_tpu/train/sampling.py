@@ -82,15 +82,22 @@ def warmup_mclmc(
         if chain_aux is not None:
             chain_aux = shard_chains(chain_aux, mesh)
 
+    # numeric knobs enter as jit ARGUMENTS (TuningRuntime), so a
+    # hyper-parameter sweep over energy-var/trust/ess/step_size_init
+    # values reuses one compiled tuner program instead of recompiling the
+    # whole warmup scan per grid value
+    rt = tcfg.runtime()
     if chain_aux is None:
         tune = jax.jit(jax.vmap(
-            lambda p, k: mclmc_tune(logdensity_fn, p, k, tcfg)))
-        out = jax.block_until_ready(tune(positions, keys))
+            lambda p, k, rt: mclmc_tune(logdensity_fn, p, k, tcfg, rt),
+            in_axes=(0, 0, None)))
+        out = jax.block_until_ready(tune(positions, keys, rt))
     else:
         tune = jax.jit(jax.vmap(
-            lambda p, k, aux: mclmc_tune(_bind(logdensity_fn, aux), p, k,
-                                         tcfg)))
-        out = jax.block_until_ready(tune(positions, keys, chain_aux))
+            lambda p, k, aux, rt: mclmc_tune(_bind(logdensity_fn, aux),
+                                             p, k, tcfg, rt),
+            in_axes=(0, 0, 0, None)))
+        out = jax.block_until_ready(tune(positions, keys, chain_aux, rt))
     if tcfg.trace_every:
         states, params, trace = out
         return states, params, trace

@@ -106,3 +106,26 @@ def test_nan_guard_recovers():
     state, params = mclmc_tune(cliff, x0, jax.random.PRNGKey(0), cfg)
     assert np.isfinite(float(params.step_size))
     assert np.all(np.isfinite(np.asarray(state.position)))
+
+
+def test_knob_sweep_shares_one_program():
+    """Numeric tuning knobs are runtime args: different grid values must
+    lower to the IDENTICAL XLA program, so hyper-parameter sweeps reuse
+    one (persistent-cached) compile instead of paying a fresh remote
+    tuner compile per value (round-3 catalogue requirement)."""
+    logd = lambda x: -0.5 * jnp.sum(x * x)  # noqa: E731
+    pos = jnp.zeros((2, 8)) + 0.1
+    keys = jax.random.split(jax.random.PRNGKey(0), 2)
+    cfg = TuningConfig(warmup_steps=60)
+
+    def hlo(**knobs):
+        rt = TuningConfig(warmup_steps=60, **knobs).runtime()
+        f = jax.jit(jax.vmap(
+            lambda p, k, rt: mclmc_tune(logd, p, k, cfg, rt),
+            in_axes=(0, 0, None)))
+        return f.lower(pos, keys, rt).as_text()
+
+    base = hlo()
+    assert hlo(trust_in_estimate=3.0, desired_energy_var_start=100.0,
+               desired_energy_var_end=0.01, step_size_init=0.5,
+               num_effective_samples=10) == base
