@@ -304,7 +304,8 @@ def lenet_mfu(compute_dtype='bfloat16', chunk=None) -> None:
     }))
 
 
-def fcn_mfu(compute_dtype='bfloat16', chunk=8192, width=512) -> None:
+def fcn_mfu(compute_dtype='bfloat16', chunk=8192, width=512,
+            integrator='mclachlan') -> None:
     """Matmul-dominated device-perf point: MCLMC on a wide-FCN posterior.
 
     LeNet's MFU ceiling is architectural (6/16-channel convs fill <13% of
@@ -335,7 +336,7 @@ def fcn_mfu(compute_dtype='bfloat16', chunk=8192, width=512) -> None:
                           likelihood_chunk_size=chunk,
                           compute_dtype=compute_dtype)
     logdensity = bayes.logdensity_fn(x, y)
-    kernel = mclmc.build_kernel(logdensity)
+    kernel = mclmc.build_kernel(logdensity, integrator=integrator)
 
     keys = jax.random.split(jax.random.PRNGKey(2), N_CHAINS)
     positions = jax.vmap(
@@ -397,6 +398,7 @@ def fcn_mfu(compute_dtype='bfloat16', chunk=8192, width=512) -> None:
                               if xla_flops_per_block else None),
         'dtype': str(compute_dtype),
         'likelihood_chunk_size': chunk,
+        'integrator': integrator,
     }))
 
 
@@ -508,9 +510,15 @@ if __name__ == '__main__':
         if '--width' in sys.argv:
             width = int(sys.argv[sys.argv.index('--width') + 1])
         dtype = ('float32' if '--f32' in sys.argv else 'bfloat16')
+        integ = 'mclachlan'
+        if '--integrator' in sys.argv:
+            integ = sys.argv[sys.argv.index('--integrator') + 1]
+            if integ == 'pallas':
+                integ = 'mclachlan_pallas'
         if '--cpu' in sys.argv:
             jax.config.update('jax_platforms', 'cpu')
-        fcn_mfu(compute_dtype=dtype, chunk=chunk, width=width)
+        fcn_mfu(compute_dtype=dtype, chunk=chunk, width=width,
+                integrator=integ)
         sys.exit(0)
     if '--lenet-mfu' in sys.argv:
         chunk = _chunk_flag(sys.argv, None)

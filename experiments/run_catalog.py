@@ -1,0 +1,286 @@
+"""Round-3 catalogue runner: the reference's full study grid, serially.
+
+Executes the reference's experiment catalogue
+(/root/reference/experiments/{tabluar_classif,hyper_params_ablation,
+complexity_ablation,datasize_ablation,feasibility,diagnostics}) on the
+chip, one experiment at a time in ONE process (the remote-compile tunnel
+tolerates no concurrency — CLAUDE.md operational notes), with:
+
+- resume: a job whose experiment dir already holds metrics.pkl is
+  skipped, so the queue can be re-launched after an interruption;
+- warmstart reuse: sampler-knob sweeps share one deep-ensemble
+  warmstart per (dataset, architecture, seed) via warmstart_exp_dir —
+  the reference supports exactly this reuse (config/warmstart.py:55-57);
+- priority ordering: classification suite first, then the hyper-param
+  grids, complexity, datasize, feasibility, diagnostics — a partially
+  completed queue still yields complete high-priority studies.
+
+Usage:  python experiments/run_catalog.py [--only STUDY[,STUDY]]
+        [--dry-run] [--root results/catalog_r3]
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import logging
+import os
+import shutil
+import sys
+import time
+import traceback
+from pathlib import Path
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+logger = logging.getLogger('catalog')
+
+CLASSIF_DATASETS = ['sonar', 'heart', 'glass', 'australian', 'ionosphere',
+                    'wine_red', 'wine_white']  # covertype: data blob missing
+CLASSIF_SEEDS = [1, 2, 3, 4, 5]          # reference repl_search.yaml
+ABLATION_SEEDS = [1, 2, 3]
+
+# reference search_desired_energy_var.yaml grid
+EV_STARTS = [0.1, 0.5, 1.0, 10.0, 100.0]
+EV_ENDS = [0.1, 0.05]
+TRUSTS = [2.5, 2.0, 1.5, 1.0, 0.5]       # search_trust_in_estimate.yaml
+ESS_TARGETS = [10, 50, 100, 150, 200]    # search_ess.yaml
+WARMUP_BUDGETS = [10000, 50000, 100000, 150000, 200000]  # search_warmstart_budget
+COMPLEXITY_STRUCTS = [[8, 8, 8, 2], [16, 16, 16, 2], [32, 32, 32, 2],
+                      [48, 48, 48, 2]]   # complexity_search.yaml
+DATASIZE_LIMITS = [40000, 30000, 20000, 10000, 5000]  # datasize_search.yaml
+FEAS_DATASETS = ['airfoil', 'concrete', 'energy', 'yacht', 'bikesharing',
+                 'protein']              # feas_search.yaml
+DIAG_DATASETS = ['airfoil', 'bikesharing', 'energy']  # diagnostics_search
+
+
+def _set(cfg, path: str, value):
+    """dataclasses.replace along a dotted path on nested frozen configs."""
+    head, _, rest = path.partition('.')
+    if rest:
+        value = _set(getattr(cfg, head), rest, value)
+    return dataclasses.replace(cfg, **{head: value})
+
+
+def _load(path: str):
+    from mile_tpu.config import Config
+
+    cfgs = Config.from_file(path)
+    assert len(cfgs) == 1, path
+    return cfgs[0]
+
+
+class Job:
+    def __init__(self, study: str, name: str, base: str, overrides: dict,
+                 warmstart_from: str | None = None):
+        self.study, self.name, self.base = study, name, base
+        self.overrides = overrides
+        self.warmstart_from = warmstart_from  # job NAME within same study
+
+    def exp_dir(self, root: Path) -> Path:
+        return root / self.study / self.name
+
+    def config(self, root: Path):
+        cfg = _load(self.base)
+        cfg = _set(cfg, 'saving_dir', str(root / self.study))
+        cfg = _set(cfg, 'experiment_name', self.name)
+        for path, value in self.overrides.items():
+            cfg = _set(cfg, path, value)
+        if self.warmstart_from:
+            ws = root / self.study / self.warmstart_from
+            cfg = _set(cfg, 'training.warmstart.warmstart_exp_dir', str(ws))
+        return cfg
+
+
+def build_jobs() -> list[Job]:
+    jobs: list[Job] = []
+
+    # ---- 1. tabular classification suite (ref tabluar_classif/, rng 1-5)
+    for ds in CLASSIF_DATASETS:
+        for rng in CLASSIF_SEEDS:
+            jobs.append(Job('tabular_classif', f'{ds}_mclmc_r{rng}',
+                            f'configs/tabular_classif/{ds}.yaml',
+                            {'rng': rng}))
+
+    # ---- 2. hyper-parameter ablations (ref hyper_params_ablation/)
+    base = 'configs/ablations/complexity_bike_mclmc.yaml'  # same bike base
+    for rng in ABLATION_SEEDS:
+        # the (0.5, 0.1) energy point doubles as the warmstart provider
+        jobs.append(Job('hyper_params', f'bike_mclmc_ev0.5_0.1_r{rng}',
+                        base, {'rng': rng}))
+    for rng in ABLATION_SEEDS:
+        provider = f'bike_mclmc_ev0.5_0.1_r{rng}'
+        for s in EV_STARTS:
+            for e in EV_ENDS:
+                if (s, e) == (0.5, 0.1):
+                    continue  # provider covers it
+                jobs.append(Job(
+                    'hyper_params', f'bike_mclmc_ev{s}_{e}_r{rng}', base,
+                    {'rng': rng,
+                     'training.sampler.desired_energy_var_start': s,
+                     'training.sampler.desired_energy_var_end': e},
+                    warmstart_from=provider))
+        for t in TRUSTS:
+            if t == 1.5:
+                continue
+            jobs.append(Job(
+                'hyper_params', f'bike_mclmc_trust{t}_r{rng}', base,
+                {'rng': rng, 'training.sampler.trust_in_estimate': t},
+                warmstart_from=provider))
+        for n in ESS_TARGETS:
+            if n == 100:
+                continue
+            jobs.append(Job(
+                'hyper_params', f'bike_mclmc_ess{n}_r{rng}', base,
+                {'rng': rng, 'training.sampler.num_effective_samples': n},
+                warmstart_from=provider))
+        for w in WARMUP_BUDGETS:
+            if w == 50000:
+                continue
+            jobs.append(Job(
+                'hyper_params', f'bike_mclmc_wu{w}_r{rng}', base,
+                {'rng': rng, 'training.sampler.warmup_steps': w},
+                warmstart_from=provider))
+        jobs.append(Job('hyper_params', f'bike_nuts_baseline_r{rng}',
+                        'configs/ablations/complexity_bike_nuts.yaml',
+                        {'rng': rng}, warmstart_from=provider))
+        jobs.append(Job('hyper_params', f'bike_de_r{rng}',
+                        'configs/ablations/complexity_bike_de.yaml',
+                        {'rng': rng}))  # own optimizer -> own warmstart
+
+    # ---- 3. complexity ablation (ref complexity_ablation/)
+    for struct in COMPLEXITY_STRUCTS:
+        tag = 'x'.join(str(w) for w in struct[:-1])
+        for rng in ABLATION_SEEDS:
+            provider = f'bike_mclmc_{tag}_r{rng}'
+            jobs.append(Job('complexity', provider,
+                            'configs/ablations/complexity_bike_mclmc.yaml',
+                            {'rng': rng, 'model.hidden_structure': struct}))
+            jobs.append(Job('complexity', f'bike_nuts_{tag}_r{rng}',
+                            'configs/ablations/complexity_bike_nuts.yaml',
+                            {'rng': rng, 'model.hidden_structure': struct},
+                            warmstart_from=provider))
+            jobs.append(Job('complexity', f'bike_de_{tag}_r{rng}',
+                            'configs/ablations/complexity_bike_de.yaml',
+                            {'rng': rng, 'model.hidden_structure': struct}))
+
+    # ---- 4. datasize ablation (ref datasize_ablation/)
+    for limit in DATASIZE_LIMITS:
+        for rng in ABLATION_SEEDS:
+            provider = f'protein_mclmc_n{limit}_r{rng}'
+            jobs.append(Job('datasize', provider,
+                            'configs/ablations/datasize_protein_mclmc.yaml',
+                            {'rng': rng, 'data.datapoint_limit': limit}))
+            jobs.append(Job('datasize', f'protein_nuts_n{limit}_r{rng}',
+                            'configs/ablations/datasize_protein_nuts.yaml',
+                            {'rng': rng, 'data.datapoint_limit': limit},
+                            warmstart_from=provider))
+
+    # ---- 5. feasibility (ref feasibility/: 10-layer FCN, 6 datasets)
+    for ds in FEAS_DATASETS:
+        jobs.append(Job('feasibility', f'feas_mclmc_{ds}',
+                        'configs/feasibility/feas.yaml',
+                        {'data.path': f'data/{ds}.data'}))
+
+    # ---- 6. diagnostics study (ref diagnostics/: deep-8 FCN, 3 datasets)
+    for ds in DIAG_DATASETS:
+        for rng in ABLATION_SEEDS:
+            provider = f'diag_mclmc_{ds}_r{rng}'
+            jobs.append(Job('diagnostics', provider,
+                            'configs/diagnostics_study.yaml',
+                            {'rng': rng, 'data.path': f'data/{ds}.data'}))
+            jobs.append(Job('diagnostics', f'diag_nuts_{ds}_r{rng}',
+                            'configs/diagnostics_nuts.yaml',
+                            {'rng': rng, 'data.path': f'data/{ds}.data'},
+                            warmstart_from=provider))
+    return jobs
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument('--root', default='results/catalog_r3')
+    p.add_argument('--only', default=None,
+                   help='comma-separated study filter')
+    p.add_argument('--dry-run', action='store_true')
+    p.add_argument('--limit', type=int, default=None)
+    args = p.parse_args()
+
+    root = Path(args.root)
+    jobs = build_jobs()
+    if args.only:
+        keep = set(args.only.split(','))
+        jobs = [j for j in jobs if j.study in keep]
+    if args.limit:
+        jobs = jobs[:args.limit]
+
+    if args.dry_run:
+        for j in jobs:
+            print(f'{j.study:16s} {j.name:34s} ws<-{j.warmstart_from}')
+        print(f'{len(jobs)} jobs')
+        return 0
+
+    logging.basicConfig(level=logging.INFO,
+                        format='%(asctime)s %(levelname)s %(message)s')
+    os.makedirs('/tmp/mile_tpu_jax_cache', exist_ok=True)
+    import jax
+
+    jax.config.update('jax_compilation_cache_dir', '/tmp/mile_tpu_jax_cache')
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+
+    from mile_tpu.train.trainer import BDETrainer
+
+    qlog = open(root / 'queue.jsonl', 'a') if root.exists() else None
+    root.mkdir(parents=True, exist_ok=True)
+    if qlog is None:
+        qlog = open(root / 'queue.jsonl', 'a')
+
+    done = skipped = failed = 0
+    for i, job in enumerate(jobs):
+        exp_dir = job.exp_dir(root)
+        if (exp_dir / 'metrics.pkl').exists():
+            skipped += 1
+            continue
+        if exp_dir.exists():
+            # incomplete leftover from a previous crash — redo cleanly
+            # (setup_dir would otherwise timestamp-suffix a duplicate)
+            shutil.rmtree(exp_dir)
+        if job.warmstart_from is not None and not (
+                root / job.study / job.warmstart_from / 'warmstart'
+                ).exists():
+            logger.error('[%d/%d] %s: warmstart provider %s missing; '
+                         'running WITHOUT reuse', i + 1, len(jobs),
+                         job.name, job.warmstart_from)
+            job.warmstart_from = None
+        logger.info('[%d/%d] %s/%s starting', i + 1, len(jobs), job.study,
+                    job.name)
+        t0 = time.time()
+        try:
+            cfg = job.config(root)
+            trainer = BDETrainer(cfg)
+            metrics = trainer.train(report=True)
+            wall = time.time() - t0
+            done += 1
+            rec = {'job': job.name, 'study': job.study, 'ok': True,
+                   'wall_s': round(wall, 1),
+                   'lppd': metrics.get('lppd'),
+                   'de_lppd': metrics.get('de_lppd'),
+                   'acc': metrics.get('acc'), 'rmse': metrics.get('rmse')}
+        except Exception as exc:  # keep the queue alive
+            wall = time.time() - t0
+            failed += 1
+            logger.error('[%d/%d] %s FAILED after %.0fs:\n%s',
+                         i + 1, len(jobs), job.name, wall,
+                         traceback.format_exc())
+            rec = {'job': job.name, 'study': job.study, 'ok': False,
+                   'wall_s': round(wall, 1), 'error': repr(exc)}
+        qlog.write(json.dumps(rec) + '\n')
+        qlog.flush()
+        logger.info('[%d/%d] %s done in %.0fs (done=%d skip=%d fail=%d)',
+                    i + 1, len(jobs), job.name, wall, done, skipped, failed)
+    logger.info('queue complete: %d done, %d skipped, %d failed',
+                done, skipped, failed)
+    return 0 if failed == 0 else 1
+
+
+if __name__ == '__main__':
+    sys.exit(main())

@@ -118,6 +118,10 @@ class SamplerConfig(BaseConfig):
     # each chain group (log-lik contributions psum'd over ICI by GSPMD);
     # lets n_chains < n_devices use every chip. 1 = chain axis only.
     data_sharding: int = 1
+    # MCLMC-only: 'mclachlan' (XLA, default) or 'mclachlan_pallas' (fused
+    # VMEM state updates + on-chip PRNG refresh; measured win only in the
+    # bandwidth-bound large-dim regime — see ops/isokinetic.py docstring)
+    integrator: str = 'mclachlan'
 
     def build_kernel(self, logdensity_fn):
         """Resolve the kernel factory (reference registry parity,
@@ -125,7 +129,8 @@ class SamplerConfig(BaseConfig):
         from mile_tpu.mcmc import hmc, mclmc, nuts
 
         if self.name == Sampler.MCLMC:
-            return mclmc.build_kernel(logdensity_fn)
+            return mclmc.build_kernel(logdensity_fn,
+                                      integrator=self.integrator)
         if self.name == Sampler.NUTS:
             return nuts.build_kernel(logdensity_fn)
         return hmc.build_kernel(
@@ -142,6 +147,10 @@ class SamplerConfig(BaseConfig):
             raise ConfigError('sampler.data_sharding must be >= 1')
         if not 0.0 < self.target_acceptance < 1.0:
             raise ConfigError('sampler.target_acceptance must be in (0, 1)')
+        if self.integrator not in ('mclachlan', 'mclachlan_pallas'):
+            raise ConfigError(
+                "sampler.integrator must be 'mclachlan' or "
+                f"'mclachlan_pallas', got {self.integrator!r}")
 
 
 # -------------------------------------------------------------- tokenizer

@@ -53,7 +53,8 @@ _TILE = LANE * SUBLANE
 # Raising vmem_limit_bytes instead was measured SLOWER (worse
 # pipelining: 1M-dim 4 chains 633→812 us/step), so the default limit
 # stays.
-_MAX_PADDED = 512 * 1024
+_MAX_PADDED = int(__import__('os').environ.get(
+    'MILE_TPU_PALLAS_MAX_PADDED', 512 * 1024))
 
 
 def pad_dim(dim: int) -> int:
@@ -199,6 +200,12 @@ def _momentum_update_batched(momentum, g_scaled, step_size):
     n_chains, dim = momentum.shape
     padded = pad_dim(dim)
     if padded > _MAX_PADDED:
+        import logging
+
+        logging.getLogger(__name__).info(
+            'pallas momentum kernel: padded dim %d > cap %d, using XLA '
+            'math (override via MILE_TPU_PALLAS_MAX_PADDED)', padded,
+            _MAX_PADDED)
         return _momentum_update_xla(momentum, g_scaled, step_size)
     run, rows = _batched_momentum_kernel(n_chains, padded)
     pad = ((0, 0), (0, padded - dim))

@@ -47,6 +47,7 @@ def _tuning_config(cfg: SamplerConfig) -> TuningConfig:
         trust_in_estimate=cfg.trust_in_estimate,
         num_effective_samples=cfg.num_effective_samples,
         diagonal_preconditioning=cfg.diagonal_preconditioning,
+        integrator=cfg.integrator,
         trace_every=(max(1, cfg.warmup_steps // MAX_KEPT_WARMUP)
                      if cfg.keep_warmup else 0),
     )
@@ -189,7 +190,8 @@ def run_mclmc(
 
     def chain_block(key, state, L, step_size, sqrt_diag_cov, aux, n_block):
         """One chain: n_block kept draws (thin kernel steps each)."""
-        kernel = mclmc.build_kernel(_bind(logdensity_fn, aux))
+        kernel = mclmc.build_kernel(_bind(logdensity_fn, aux),
+                                    integrator=cfg.integrator)
 
         def outer(state, key):
             def inner(state, k):
