@@ -40,12 +40,24 @@ C_MCLMC, C_NUTS, C_DE = '#F35B04', '#3D348B', '#014704'
 SAMPLER_COL = 'training.sampler.name'
 ABLATION_AXES = {
     'desired_energy_variance':
-        'training.sampler.desired_energy_var_end',
-    'effective_samples': 'training.sampler.num_effective_samples',
-    'warmstart_budget': 'training.sampler.warmup_steps',
-    'trust_in_estimate': 'training.sampler.trust_in_estimate',
-    'datasize': 'data.datapoint_limit',
+        ('training.sampler.desired_energy_var_start',
+         'training.sampler.desired_energy_var_end'),
+    'effective_samples': ('training.sampler.num_effective_samples', None),
+    'warmstart_budget': ('training.sampler.warmup_steps', None),
+    'trust_in_estimate': ('training.sampler.trust_in_estimate', None),
+    'datasize': ('data.datapoint_limit', None),
 }
+# every sweepable sampler knob; when plotting one axis, the others are
+# pinned to their modal (base-config) value so sweeps pooled into one
+# CSV don't contaminate each other's curves (and DE runs — whose
+# sampler is a token mclmc at default knobs — drop out automatically)
+_SWEEP_COLS = [
+    'training.sampler.desired_energy_var_start',
+    'training.sampler.desired_energy_var_end',
+    'training.sampler.num_effective_samples',
+    'training.sampler.warmup_steps',
+    'training.sampler.trust_in_estimate',
+]
 FACET_METRICS = [('lppd', 'LPPD'), ('rmse', 'RMSE'), ('L', 'L'),
                  ('step_size', 'Step Size')]
 
@@ -74,14 +86,32 @@ def _nuts_rows(df: pd.DataFrame) -> pd.DataFrame:
 
 
 # ------------------------------------------------- hyperparameter ablation
+def _pin_other_sweeps(sub: pd.DataFrame, keep_cols: tuple) -> pd.DataFrame:
+    """Restrict rows to the modal value of every sweep column OTHER than
+    the ones being plotted — isolates one sweep out of a pooled CSV."""
+    for col in _SWEEP_COLS:
+        if col in keep_cols or col not in sub:
+            continue
+        vals = sub[col].dropna()
+        if vals.nunique() > 1:
+            sub = sub[sub[col] == vals.mode().iloc[0]]
+    return sub
+
+
 def ablation_figure(df: pd.DataFrame, x_col: str, name: str,
-                    out_dir: Path) -> str | None:
+                    out_dir: Path, series_col: str | None = None
+                    ) -> str | None:
     """Faceted LPPD/RMSE/L/step-size vs one ablation axis; MCLMC points
-    with std bars, dashed NUTS and dotted DE baselines (R 100-158)."""
+    with std bars (one line per ``series_col`` value), dashed NUTS and
+    dotted DE baselines (R 100-158)."""
     sub = _mclmc_rows(df)
     if x_col not in sub or sub[x_col].dropna().nunique() < 2:
         return None
     sub = sub.dropna(subset=[x_col])
+    sub = _pin_other_sweeps(sub, (x_col, series_col))
+    if series_col is not None and (series_col not in sub
+                                   or sub[series_col].nunique() < 2):
+        series_col = None
     panels = [(m, label) for m, label in FACET_METRICS if m in sub
               and sub[m].notna().any()]
     if not panels:
@@ -89,12 +119,22 @@ def ablation_figure(df: pd.DataFrame, x_col: str, name: str,
     nuts = _nuts_rows(df)
     fig, axes = plt.subplots(2, 2, figsize=(8, 6))
     for ax, (metric, label) in zip(axes.flat, panels):
-        stats = sub.groupby(x_col)[metric].agg(['mean', 'std'])
-        xs = np.arange(len(stats))
-        ax.errorbar(xs, stats['mean'], yerr=stats['std'], marker='o',
-                    color=C_MCLMC, capsize=0, lw=1.5)
-        ax.set_xticks(xs)
-        ax.set_xticklabels([str(v) for v in stats.index], rotation=45,
+        order = np.sort(sub[x_col].unique())
+        series = ([(None, sub)] if series_col is None
+                  else list(sub.groupby(series_col)))
+        for si, (sval, g) in enumerate(series):
+            stats = (g.groupby(x_col)[metric].agg(['mean', 'std'])
+                     .reindex(order))
+            xs = np.arange(len(stats))
+            ax.errorbar(
+                xs, stats['mean'], yerr=stats['std'], marker='o',
+                color=C_MCLMC, capsize=0, lw=1.5,
+                alpha=1.0 - 0.45 * si,
+                ls=['-', '--', ':'][si % 3],
+                label=(None if sval is None
+                       else f'{series_col.rsplit(".", 1)[-1]}={sval}'))
+        ax.set_xticks(np.arange(len(order)))
+        ax.set_xticklabels([str(v) for v in order], rotation=45,
                            ha='right', fontsize=8)
         if metric in ('lppd', 'rmse'):
             if len(nuts) and metric in nuts and nuts[metric].notna().any():
@@ -291,8 +331,8 @@ def metric_by_axis_figure(df: pd.DataFrame, metric: str, axis: str,
 
 def render_all(df: pd.DataFrame, out_dir: Path) -> list[str]:
     made = []
-    for name, x_col in ABLATION_AXES.items():
-        made.append(ablation_figure(df, x_col, name, out_dir))
+    for name, (x_col, series_col) in ABLATION_AXES.items():
+        made.append(ablation_figure(df, x_col, name, out_dir, series_col))
     made.append(hidden_structure_figure(df, out_dir))
     made.append(sampling_times_figure(df, out_dir))
     made.append(grad_evals_figure(df, out_dir))
