@@ -504,6 +504,13 @@ def _chunk_flag(argv, default):
 if __name__ == '__main__':
     import sys
 
+    if '--help' in sys.argv or '-h' in sys.argv:
+        print(__doc__)
+        print('modes: (default headline) | --fcn-mfu [--width W --chunk C '
+              '--f32 --integrator pallas] | --lenet-mfu [--chunk C --f32] | '
+              '--chain-scaling [airfoil|fcn] [--chains a,b,c] | '
+              '--reference-style-baseline | --cpu-baseline | --cpu')
+        sys.exit(0)
     if '--fcn-mfu' in sys.argv:
         chunk = _chunk_flag(sys.argv, 8192)
         width = 512

@@ -106,7 +106,12 @@ def ablation_figure(df: pd.DataFrame, x_col: str, name: str,
     dotted DE baselines (R 100-158)."""
     sub = _mclmc_rows(df)
     if x_col not in sub or sub[x_col].dropna().nunique() < 2:
-        return None
+        # e.g. only the end target was swept: promote the series axis
+        if (series_col and series_col in sub
+                and sub[series_col].dropna().nunique() >= 2):
+            x_col, series_col = series_col, None
+        else:
+            return None
     sub = sub.dropna(subset=[x_col])
     sub = _pin_other_sweeps(sub, (x_col, series_col))
     if series_col is not None and (series_col not in sub
@@ -176,12 +181,21 @@ def hidden_structure_figure(df: pd.DataFrame, out_dir: Path) -> str | None:
         return None
     fig, axes = plt.subplots(1, len(metrics), figsize=(6 * len(metrics), 4),
                              squeeze=False)
-    colors = {'mclmc': C_MCLMC, 'nuts': C_NUTS, 'hmc': '#7678ED'}
+    colors = {'mclmc': C_MCLMC, 'nuts': C_NUTS, 'hmc': '#7678ED',
+              'de': C_DE}
+    # DE runs carry a token mclmc sampler config — classify by name so
+    # they plot as their own series (de_lppd is the metric that matters
+    # for them), not inside the MCLMC curve
+    sub['_method'] = np.where(
+        sub.get('experiment_name', pd.Series('', index=sub.index))
+           .astype(str).str.contains(r'(?:^|_)de(?:_|$)'),
+        'de', sub[SAMPLER_COL].astype(str) if SAMPLER_COL in sub else 'all')
     for ax, metric in zip(axes.flat, metrics):
-        groups = (sub.groupby(SAMPLER_COL) if SAMPLER_COL in sub
-                  else [('all', sub)])
-        for sampler, g in groups:
-            stats = (g.groupby(col)[metric].agg(['mean', 'std'])
+        for sampler, g in sub.groupby('_method'):
+            use_metric = (f'de_{metric}'
+                          if sampler == 'de' and f'de_{metric}' in g
+                          else metric)
+            stats = (g.groupby(col)[use_metric].agg(['mean', 'std'])
                      .reindex(order).dropna(subset=['mean']))
             xs = np.arange(len(stats))
             color = colors.get(str(sampler).lower(), None)
