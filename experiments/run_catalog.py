@@ -176,6 +176,17 @@ def build_jobs() -> list[Job]:
                             {'rng': rng, 'data.datapoint_limit': limit},
                             warmstart_from=provider))
 
+    # ---- 4b. NUTS target-acceptance comparison (VERDICT r2 next 2:
+    # baseline 0.8 adapts ε slightly hot — 6-13% divergent draws at
+    # measured acceptance below target; quantify the 0.9-target trade)
+    for rng in ABLATION_SEEDS:
+        jobs.append(Job(
+            'nuts_ta', f'bike_nuts_ta09_r{rng}',
+            'configs/ablations/complexity_bike_nuts.yaml',
+            {'rng': rng, 'training.sampler.target_acceptance': 0.9,
+             'training.warmstart.warmstart_exp_dir':
+                 f'results/catalog_r3/complexity/bike_mclmc_16x16x16_r{rng}'}))
+
     # ---- 5. feasibility (ref feasibility/: 10-layer FCN, 6 datasets)
     for ds in FEAS_DATASETS:
         jobs.append(Job('feasibility', f'feas_mclmc_{ds}',
