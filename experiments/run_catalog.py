@@ -214,6 +214,11 @@ def main() -> int:
                    help='comma-separated study filter')
     p.add_argument('--dry-run', action='store_true')
     p.add_argument('--limit', type=int, default=None)
+    p.add_argument('--mclmc-first', action='store_true',
+                   help='run every MCLMC job (the warmstart providers) '
+                        'before DE, before NUTS, within the filtered set — '
+                        'an interrupted queue then holds COMPLETE cheap '
+                        'grids instead of interleaved fragments')
     args = p.parse_args()
 
     root = Path(args.root)
@@ -221,6 +226,11 @@ def main() -> int:
     if args.only:
         keep = set(args.only.split(','))
         jobs = [j for j in jobs if j.study in keep]
+    if args.mclmc_first:
+        def rank(j: Job) -> int:
+            return 0 if 'mclmc' in j.name or j.study == 'feasibility' \
+                else (1 if '_de' in j.name else 2)
+        jobs = sorted(jobs, key=rank)  # stable sort keeps intra-class order
     if args.limit:
         jobs = jobs[:args.limit]
 
@@ -247,6 +257,11 @@ def main() -> int:
 
     done = skipped = failed = 0
     for i, job in enumerate(jobs):
+        if (root / 'STOP').exists():
+            # clean shutdown between jobs (never mid-compile: killing a
+            # client mid-remote-compile wedges the tunnel ~30 min)
+            logger.info('STOP file found; exiting after %d done', done)
+            break
         exp_dir = job.exp_dir(root)
         if (exp_dir / 'metrics.pkl').exists():
             skipped += 1
