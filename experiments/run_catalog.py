@@ -25,6 +25,7 @@ import dataclasses
 import json
 import logging
 import os
+import re
 import shutil
 import sys
 import time
@@ -214,6 +215,9 @@ def main() -> int:
                    help='comma-separated study filter')
     p.add_argument('--dry-run', action='store_true')
     p.add_argument('--limit', type=int, default=None)
+    p.add_argument('--name-filter', default=None,
+                   help='regex on job name (e.g. "_r1$" runs one seed '
+                        'of every grid point — a full sweep axis fast)')
     p.add_argument('--mclmc-first', action='store_true',
                    help='run every MCLMC job (the warmstart providers) '
                         'before DE, before NUTS, within the filtered set — '
@@ -226,6 +230,8 @@ def main() -> int:
     if args.only:
         keep = set(args.only.split(','))
         jobs = [j for j in jobs if j.study in keep]
+    if args.name_filter:
+        jobs = [j for j in jobs if re.search(args.name_filter, j.name)]
     if args.mclmc_first:
         def rank(j: Job) -> int:
             return 0 if 'mclmc' in j.name or j.study == 'feasibility' \
