@@ -76,10 +76,20 @@ class Job:
                  warmstart_from: str | None = None):
         self.study, self.name, self.base = study, name, base
         self.overrides = overrides
-        self.warmstart_from = warmstart_from  # job NAME within same study
+        # job NAME within same study, or 'other_study/name' for a
+        # cross-study provider (always resolved against --root so the
+        # queue is relocatable; ADVICE r3 medium finding)
+        self.warmstart_from = warmstart_from
 
     def exp_dir(self, root: Path) -> Path:
         return root / self.study / self.name
+
+    def warmstart_dir(self, root: Path) -> Path | None:
+        if self.warmstart_from is None:
+            return None
+        if '/' in self.warmstart_from:
+            return root / self.warmstart_from
+        return root / self.study / self.warmstart_from
 
     def config(self, root: Path):
         cfg = _load(self.base)
@@ -87,8 +97,8 @@ class Job:
         cfg = _set(cfg, 'experiment_name', self.name)
         for path, value in self.overrides.items():
             cfg = _set(cfg, path, value)
-        if self.warmstart_from:
-            ws = root / self.study / self.warmstart_from
+        ws = self.warmstart_dir(root)
+        if ws is not None:
             cfg = _set(cfg, 'training.warmstart.warmstart_exp_dir', str(ws))
         return cfg
 
@@ -177,16 +187,27 @@ def build_jobs() -> list[Job]:
                             {'rng': rng, 'data.datapoint_limit': limit},
                             warmstart_from=provider))
 
-    # ---- 4b. NUTS target-acceptance comparison (VERDICT r2 next 2:
-    # baseline 0.8 adapts ε slightly hot — 6-13% divergent draws at
-    # measured acceptance below target; quantify the 0.9-target trade)
+    # ---- 4b. NUTS target-acceptance sweep (VERDICT r3 next 3: baseline
+    # 0.8 leaves 5-6% divergent draws; sweep 0.9/0.95 and pick a
+    # divergence-aware default). Providers are the complexity-study
+    # 16x16x16 MCLMC warmstarts, resolved against --root (ADVICE r3).
     for rng in ABLATION_SEEDS:
-        jobs.append(Job(
-            'nuts_ta', f'bike_nuts_ta09_r{rng}',
-            'configs/ablations/complexity_bike_nuts.yaml',
-            {'rng': rng, 'training.sampler.target_acceptance': 0.9,
-             'training.warmstart.warmstart_exp_dir':
-                 f'results/catalog_r3/complexity/bike_mclmc_16x16x16_r{rng}'}))
+        for ta in (0.9, 0.95):
+            jobs.append(Job(
+                'nuts_ta', f'bike_nuts_ta{int(ta * 100)}_r{rng}',
+                'configs/ablations/complexity_bike_nuts.yaml',
+                {'rng': rng, 'training.sampler.target_acceptance': ta},
+                warmstart_from=f'complexity/bike_mclmc_16x16x16_r{rng}'))
+
+    # ---- 4c. UCI regression dataset sweep (ref experiments/dataset/ and
+    # VERDICT r3 next 4: one table over the full 6-dataset suite with
+    # seeds; r2 covered concrete/energy/yacht single-seed). Each MCLMC
+    # run also records its own deep-ensemble (de_lppd) baseline.
+    for ds in FEAS_DATASETS:
+        for rng in ABLATION_SEEDS:
+            jobs.append(Job('dataset', f'uci_mclmc_{ds}_r{rng}',
+                            'configs/replicate_uci/mclmc.yaml',
+                            {'rng': rng, 'data.path': f'data/{ds}.data'}))
 
     # ---- 5. feasibility (ref feasibility/: 10-layer FCN, 6 datasets)
     for ds in FEAS_DATASETS:
@@ -216,8 +237,9 @@ def main() -> int:
     p.add_argument('--dry-run', action='store_true')
     p.add_argument('--limit', type=int, default=None)
     p.add_argument('--name-filter', default=None,
-                   help='regex on job name (e.g. "_r1$" runs one seed '
-                        'of every grid point — a full sweep axis fast)')
+                   help='regex on job name (e.g. "_r1$" runs one seed of '
+                        'every SEEDED grid point — note feasibility jobs '
+                        'carry no _r<N> suffix and would be dropped)')
     p.add_argument('--mclmc-first', action='store_true',
                    help='run every MCLMC job (the warmstart providers) '
                         'before DE, before NUTS, within the filtered set — '
@@ -262,11 +284,16 @@ def main() -> int:
         qlog = open(root / 'queue.jsonl', 'a')
 
     done = skipped = failed = 0
+    stopped = False
     for i, job in enumerate(jobs):
         if (root / 'STOP').exists():
+            stopped = True
             # clean shutdown between jobs (never mid-compile: killing a
-            # client mid-remote-compile wedges the tunnel ~30 min)
-            logger.info('STOP file found; exiting after %d done', done)
+            # client mid-remote-compile wedges the tunnel ~30 min).
+            # Consume the file so the NEXT launch runs (ADVICE r3 low).
+            (root / 'STOP').unlink()
+            logger.info('STOP file found (consumed); exiting after %d done',
+                        done)
             break
         exp_dir = job.exp_dir(root)
         if (exp_dir / 'metrics.pkl').exists():
@@ -276,9 +303,8 @@ def main() -> int:
             # incomplete leftover from a previous crash — redo cleanly
             # (setup_dir would otherwise timestamp-suffix a duplicate)
             shutil.rmtree(exp_dir)
-        if job.warmstart_from is not None and not (
-                root / job.study / job.warmstart_from / 'warmstart'
-                ).exists():
+        ws_dir = job.warmstart_dir(root)
+        if ws_dir is not None and not (ws_dir / 'warmstart').exists():
             logger.error('[%d/%d] %s: warmstart provider %s missing; '
                          'running WITHOUT reuse', i + 1, len(jobs),
                          job.name, job.warmstart_from)
@@ -311,6 +337,8 @@ def main() -> int:
                     i + 1, len(jobs), job.name, wall, done, skipped, failed)
     logger.info('queue complete: %d done, %d skipped, %d failed',
                 done, skipped, failed)
+    if stopped:
+        return 75  # tells a multi-stage wrapper script to stop the pipeline
     return 0 if failed == 0 else 1
 
 
