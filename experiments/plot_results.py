@@ -352,8 +352,8 @@ def render_all(df: pd.DataFrame, out_dir: Path) -> list[str]:
     made.append(grad_evals_figure(df, out_dir))
     made.append(diagnostics_figure(df, out_dir))
     made.append(coverage_figure(df, out_dir))
-    for metric in ('lppd', 'rmse', 'acc', 'cal_error'):
-        for axis in ('data.path', 'rng'):
+    for metric in ('lppd', 'de_lppd', 'rmse', 'acc', 'cal_error'):
+        for axis in ('data.path', 'rng', 'data.datapoint_limit'):
             made.append(metric_by_axis_figure(df, metric, axis, out_dir))
     return [m for m in made if m]
 

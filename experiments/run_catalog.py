@@ -209,11 +209,22 @@ def build_jobs() -> list[Job]:
                             'configs/replicate_uci/mclmc.yaml',
                             {'rng': rng, 'data.path': f'data/{ds}.data'}))
 
-    # ---- 5. feasibility (ref feasibility/: 10-layer FCN, 6 datasets)
+    # ---- 5. feasibility (ref feasibility/: 10-layer FCN, 6 datasets).
+    # The reference arm is the NAIVE config (feas.yaml
+    # 'mclmc_naive_run_10_layers') — on chip it diverges to NaN LPPD on
+    # deep nets, which IS the study's point. The feas_tuned companion
+    # (beyond reference) runs the same net through the tuned pipeline
+    # with diagonal preconditioning to show the framework's fix.
     for ds in FEAS_DATASETS:
         jobs.append(Job('feasibility', f'feas_mclmc_{ds}',
                         'configs/feasibility/feas.yaml',
                         {'data.path': f'data/{ds}.data'}))
+        jobs.append(Job(
+            'feasibility', f'feas_tuned_{ds}',
+            'configs/feasibility/feas.yaml',
+            {'data.path': f'data/{ds}.data',
+             'training.sampler.diagonal_preconditioning': True},
+            warmstart_from=f'feas_mclmc_{ds}'))
 
     # ---- 6. diagnostics study (ref diagnostics/: deep-8 FCN, 3 datasets)
     for ds in DIAG_DATASETS:

@@ -101,9 +101,23 @@ def warmup_mclmc(
         out = jax.block_until_ready(tune(positions, keys, chain_aux, rt))
     if tcfg.trace_every:
         states, params, trace = out
-        return states, params, trace
-    states, params = out
-    return states, params, None
+    else:
+        states, params = out
+        trace = None
+    # degenerate tuning is survivable (NaN chains are excluded at
+    # evaluation) but should be LOUD: a collapsed ε means the posterior
+    # rejected every probed step size (seen on the feasibility study's
+    # naive 10-layer FCN, where divergence is the expected outcome)
+    eps = np.asarray(params.step_size)
+    n_bad = int(np.sum(~np.isfinite(eps) | (eps <= 0.0)))
+    if n_bad:
+        logger.warning(
+            'MCLMC tuning collapsed on %d/%d chains (step_size<=0 or '
+            'non-finite) — their draws will be NaN and excluded from '
+            'evaluation. The posterior is likely too pathological for '
+            'these tuner settings (deep net / naive config?).',
+            n_bad, n_chains)
+    return states, params, trace
 
 
 def run_mclmc(
