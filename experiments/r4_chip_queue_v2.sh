@@ -10,12 +10,24 @@ L=results/catalog_r3
 mkdir -p "$L"
 rm -f "$L/STOP"
 run() {
-    nice -n 5 python experiments/run_catalog.py --root "$L" "$@"
-    local rc=$?
-    if [ "$rc" -eq 75 ]; then
-        echo "=== STOP honored during: $* — pipeline drained $(date)"
-        exit 75
-    fi
+    # up to 3 attempts per stage: exit 70 = device fault killed the
+    # process (run_catalog bails out; a fresh process resumes via the
+    # skip logic). Failed jobs left no metrics.pkl so they re-run.
+    local attempt rc
+    for attempt in 1 2 3; do
+        nice -n 5 python experiments/run_catalog.py --root "$L" "$@"
+        rc=$?
+        if [ "$rc" -eq 75 ]; then
+            echo "=== STOP honored during: $* — pipeline drained $(date)"
+            exit 75
+        fi
+        if [ "$rc" -ne 70 ]; then
+            return 0
+        fi
+        echo "=== device fault during: $* (attempt $attempt); cooling off 180s $(date)"
+        sleep 180
+    done
+    echo "=== stage abandoned after repeated device faults: $* $(date)"
     return 0
 }
 {

@@ -294,9 +294,25 @@ def main() -> int:
     if qlog is None:
         qlog = open(root / 'queue.jsonl', 'a')
 
+    # two-strikes device-fault ledger: a job that faulted the device in
+    # >=2 previous processes is skipped so a deterministic kernel fault
+    # can't pin every relaunch on the same job
+    fault_log = root / 'FAULTS.jsonl'
+    fault_counts: dict[str, int] = {}
+    if fault_log.exists():
+        for line in fault_log.read_text().splitlines():
+            name = json.loads(line)['job']
+            fault_counts[name] = fault_counts.get(name, 0) + 1
+
     done = skipped = failed = 0
     stopped = False
     for i, job in enumerate(jobs):
+        if fault_counts.get(job.name, 0) >= 2:
+            logger.error('[%d/%d] %s skipped: faulted the device %d times '
+                         '(see %s)', i + 1, len(jobs), job.name,
+                         fault_counts[job.name], fault_log)
+            skipped += 1
+            continue
         if (root / 'STOP').exists():
             stopped = True
             # clean shutdown between jobs (never mid-compile: killing a
@@ -342,6 +358,21 @@ def main() -> int:
                          traceback.format_exc())
             rec = {'job': job.name, 'study': job.study, 'ok': False,
                    'wall_s': round(wall, 1), 'error': repr(exc)}
+            if 'UNAVAILABLE' in repr(exc) or 'device error' in repr(exc):
+                # a device fault poisons THIS process: every further job
+                # insta-fails (observed: one protein-NUTS kernel fault
+                # burned 14 queued jobs in 6 s). Bail out with a distinct
+                # code so a wrapper can relaunch a fresh process that
+                # resumes via the skip logic.
+                qlog.write(json.dumps(rec) + '\n')
+                qlog.flush()
+                with open(fault_log, 'a') as f:
+                    f.write(json.dumps({'job': job.name,
+                                        'wall_s': round(wall, 1)}) + '\n')
+                logger.error('device unavailable — exiting for relaunch '
+                             '(done=%d skip=%d fail=%d)', done, skipped,
+                             failed)
+                return 70
         qlog.write(json.dumps(rec) + '\n')
         qlog.flush()
         logger.info('[%d/%d] %s done in %.0fs (done=%d skip=%d fail=%d)',
