@@ -110,10 +110,13 @@ class SamplerConfig(BaseConfig):
     # HMC-only: number of leapfrog steps per proposal.
     num_integration_steps: int = 32
     # NUTS/HMC-only: dual-averaging acceptance target for window
-    # adaptation (Stan default 0.8; raise towards 0.9 to trade step size
-    # for fewer divergences — r2 measured 6.1% divergent draws at 0.8 on
-    # bikesharing with mean acceptance landing slightly below target)
-    target_acceptance: float = 0.8
+    # adaptation. Default 0.9 from the round-4 on-chip sweep
+    # (aggr_results/aggr_nuts_ta.csv, bikesharing FCN [16,16,16,2] x 3
+    # seeds): equal LPPD to the Stan/BlackJAX-default 0.8 (0.683+-0.039
+    # vs 0.700+-0.033) with 10-20x fewer divergent draws (64/12k vs
+    # 880-1592/12k); 0.95 buys nothing further. Set 0.8 to mirror the
+    # reference's implicit BlackJAX default exactly.
+    target_acceptance: float = 0.9
     # devices along a second mesh axis sharding the TRAINING SET within
     # each chain group (log-lik contributions psum'd over ICI by GSPMD);
     # lets n_chains < n_devices use every chip. 1 = chain axis only.
