@@ -225,6 +225,18 @@ def build_jobs() -> list[Job]:
             {'data.path': f'data/{ds}.data',
              'training.sampler.diagonal_preconditioning': True},
             warmstart_from=f'feas_mclmc_{ds}'))
+        # second probe: preconditioning did NOT rescue the collapse, so
+        # test the numerics hypothesis — 10 layers of default-bf16
+        # matmuls may bury the tuner's energy-variance signal the same
+        # way they buried the NUTS MH signal (r2). f32 compute for the
+        # whole sampler:
+        jobs.append(Job(
+            'feasibility', f'feas_f32_{ds}',
+            'configs/feasibility/feas.yaml',
+            {'data.path': f'data/{ds}.data',
+             'training.sampler.diagonal_preconditioning': True,
+             'training.sampler.compute_dtype': 'float32'},
+            warmstart_from=f'feas_mclmc_{ds}'))
 
     # ---- 6. diagnostics study (ref diagnostics/: deep-8 FCN, 3 datasets)
     for ds in DIAG_DATASETS:
