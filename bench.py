@@ -80,7 +80,10 @@ def build_workload():
 
     data_cfg = DataConfig(path='data/airfoil.data', task=Task.REGRESSION,
                           train_split=0.7, valid_split=0.1, test_split=0.2)
-    loader = TabularLoader(data_cfg, jax.random.PRNGKey(0))
+    # host-side int seed: data loading performs zero device dispatches, so
+    # a sick chip cannot kill the bench before the workload even starts
+    # (VERDICT r4 weak 1 — BENCH_r04 died exactly here)
+    loader = TabularLoader(data_cfg, 0)
     module = build_model(FCNConfig(hidden_structure=HIDDEN))
     x, y = loader.arrays('train')
     template = module.init(jax.random.PRNGKey(1), x[:1])['params']
@@ -155,9 +158,112 @@ def _measure_throughput(n_chains: int, n_repeats: int = N_REPEATS):
             'min': rates[0], 'max': rates[-1], 'n_repeats': n_repeats}
 
 
+# ---------------------------------------------------------------- resilience
+# Round 4's driver bench crashed (rc=1, no JSON) on a chip left wedged by
+# earlier kernel faults. The bench now (a) preflights device health,
+# (b) retries the workload on device-fault-shaped errors with a cool-off
+# (the tunnel recovers on its own in minutes), and (c) on final failure
+# still emits ONE parseable JSON line with an `error` field. Mirrors the
+# hardening experiments/run_catalog.py got in round 4 (VERDICT r4 next 1).
+FAULT_MARKERS = ('UNAVAILABLE', 'FAILED_PRECONDITION', 'DEADLINE_EXCEEDED',
+                 'kernel fault', 'device error', 'INTERNAL')
+BENCH_ATTEMPTS = int(os.environ.get('MILE_BENCH_ATTEMPTS', '3'))
+BENCH_COOLOFF_S = float(os.environ.get('MILE_BENCH_COOLOFF_S', '120'))
+
+
+def _is_device_fault(exc: BaseException) -> bool:
+    text = repr(exc)
+    return any(m in text for m in FAULT_MARKERS)
+
+
+def _preflight() -> None:
+    """Cheap device-health probe: one tiny dispatch, fail fast if the
+    backend is wedged (so the retry/cool-off loop starts immediately
+    instead of dying mid-warmup with partial state)."""
+    x = jnp.ones((8, 8))
+    jax.block_until_ready(x @ x)
+
+
+def _with_retries(fn, label: str):
+    """Run ``fn`` with device-fault retries + cool-off; re-raise others."""
+    last = None
+    for attempt in range(BENCH_ATTEMPTS):
+        try:
+            _preflight()
+            return fn()
+        except Exception as exc:  # noqa: BLE001 — classified below
+            if not _is_device_fault(exc):
+                raise
+            last = exc
+            print(f'bench: {label} attempt {attempt + 1}/{BENCH_ATTEMPTS} '
+                  f'hit a device fault ({repr(exc)[:200]}); cooling off '
+                  f'{BENCH_COOLOFF_S:.0f}s', file=sys.stderr)
+            if attempt + 1 < BENCH_ATTEMPTS:
+                time.sleep(BENCH_COOLOFF_S)
+    raise last
+
+
+def _measure_warmstart(n_members: int):
+    """Ensemble-SGD (warmstart) throughput: member-steps/s on the airfoil
+    workload (VERDICT r4 next 6 — BASELINE.md tracks warmstart wall time;
+    ref trainer.py:329). One full `train_ensemble` program (scanned
+    epochs, minibatch AdamW, validation eval per epoch) is compiled, then
+    timed on its second invocation so the number is steady-state."""
+    from mile_tpu.config import DataConfig, FCNConfig, Task
+    from mile_tpu.config.training import OptimizerConfig, WarmstartConfig
+    from mile_tpu.data import TabularLoader
+    from mile_tpu.models import build_model
+    from mile_tpu.train.warmstart import train_ensemble
+
+    data_cfg = DataConfig(path='data/airfoil.data', task=Task.REGRESSION,
+                          train_split=0.7, valid_split=0.1, test_split=0.2)
+    loader = TabularLoader(data_cfg, 0)
+    module = build_model(FCNConfig(hidden_structure=HIDDEN))
+    n_epochs = 200
+    cfg = WarmstartConfig(
+        include=True, max_epochs=n_epochs, batch_size=32, patience=None,
+        optimizer_config=OptimizerConfig())  # adamw, lr=1e-3 (defaults)
+    n_batches = max(1, loader.arrays('train')[0].shape[0] // 32)
+
+    def run(key):
+        params, _ = train_ensemble(module, loader, cfg, Task.REGRESSION,
+                                   n_members, key)
+        return jax.block_until_ready(params)
+
+    run(jax.random.PRNGKey(0))  # compile + warm
+    t0 = time.perf_counter()
+    run(jax.random.PRNGKey(1))
+    elapsed = time.perf_counter() - t0
+    return {'member_steps_per_sec':
+                round(n_members * n_epochs * n_batches / elapsed, 1),
+            'epochs_per_sec': round(n_epochs / elapsed, 2),
+            'wall_s': round(elapsed, 2)}
+
+
 def main() -> None:
-    head = _measure_throughput(N_CHAINS)
-    best = _measure_throughput(BEST_PER_CHIP_CHAINS)
+    try:
+        head = _with_retries(lambda: _measure_throughput(N_CHAINS),
+                             'headline-12')
+        best = _with_retries(
+            lambda: _measure_throughput(BEST_PER_CHIP_CHAINS), 'knee-48')
+        ws12 = _with_retries(lambda: _measure_warmstart(N_CHAINS),
+                             'warmstart-12')
+        ws48 = _with_retries(
+            lambda: _measure_warmstart(BEST_PER_CHIP_CHAINS),
+            'warmstart-48')
+    except Exception as exc:  # noqa: BLE001 — final failure: parseable line
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        print(json.dumps({
+            'metric': 'mclmc_airfoil_samples_per_sec', 'value': None,
+            'unit': 'posterior samples/s (12 chains, full-batch airfoil '
+                    'FCN)',
+            'vs_baseline': None,
+            'error': repr(exc)[:500],
+            'attempts': BENCH_ATTEMPTS,
+        }))
+        sys.exit(1)
     samples_per_sec = head['median']
     print(json.dumps({
         'metric': 'mclmc_airfoil_samples_per_sec',
@@ -183,6 +289,13 @@ def main() -> None:
             samples_per_sec / REFERENCE_STYLE_BASELINE_SAMPLES_PER_SEC, 2),
         'vs_own_cpu': round(
             samples_per_sec / OWN_CPU_BASELINE_SAMPLES_PER_SEC, 2),
+        # warmstart (ensemble SGD) phase perf — BASELINE.md tracks the
+        # reference's warmstart wall time (ref trainer.py:329);
+        # member-steps/s = members x epochs x minibatches / wall
+        'warmstart_12_member_steps_per_sec': ws12['member_steps_per_sec'],
+        'warmstart_48_member_steps_per_sec': ws48['member_steps_per_sec'],
+        'warmstart_12_wall_s': ws12['wall_s'],
+        'warmstart_48_wall_s': ws48['wall_s'],
     }))
 
 

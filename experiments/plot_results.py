@@ -289,6 +289,49 @@ def diagnostics_figure(df: pd.DataFrame, out_dir: Path) -> str | None:
     return _save(fig, out_dir, 'diagnostics')
 
 
+# -------------------------------------------------------------- divergences
+def divergence_figure(df: pd.DataFrame, out_dir: Path) -> str | None:
+    """NUTS divergent-draw counts, by target_acceptance when that axis is
+    swept (the nuts_ta study justifying the 0.9 default), else per
+    experiment (VERDICT r4 next 5; ref divergence tracking
+    src/training/sampling.py:200-216)."""
+    ta_col = 'training.sampler.target_acceptance'
+    nuts = _nuts_rows(df)
+    if 'n_divergent' not in nuts or not nuts['n_divergent'].notna().any():
+        return None
+    nuts = nuts.dropna(subset=['n_divergent'])
+    fig, axes = plt.subplots(1, 2, figsize=(8, 3.6))
+    if ta_col in nuts and nuts[ta_col].nunique() >= 2:
+        stats = nuts.groupby(ta_col).agg(
+            div_mean=('n_divergent', 'mean'), div_std=('n_divergent', 'std'),
+            lppd_mean=('lppd', 'mean'), lppd_std=('lppd', 'std'))
+        xs = np.arange(len(stats))
+        for ax, (m, s, label) in zip(axes, [
+                ('div_mean', 'div_std', 'divergent draws / run'),
+                ('lppd_mean', 'lppd_std', 'LPPD')]):
+            ax.errorbar(xs, stats[m], yerr=stats[s], marker='o',
+                        color=C_NUTS, lw=1.5, capsize=3)
+            ax.set_xticks(xs)
+            ax.set_xticklabels([str(v) for v in stats.index])
+            ax.set_xlabel('target acceptance')
+            ax.set_ylabel(label, fontsize=9)
+        fig.suptitle('NUTS divergences vs target acceptance', fontsize=11)
+    else:
+        names = nuts['experiment_name'].astype(str).to_numpy()
+        axes[0].bar(np.arange(len(nuts)), nuts['n_divergent'],
+                    color=C_NUTS)
+        axes[0].set_xticks(np.arange(len(nuts)))
+        axes[0].set_xticklabels(names, rotation=60, ha='right', fontsize=6)
+        axes[0].set_ylabel('divergent draws / run', fontsize=9)
+        axes[1].scatter(nuts['n_divergent'], nuts['lppd'], color=C_NUTS,
+                        s=14)
+        axes[1].set_xlabel('divergent draws')
+        axes[1].set_ylabel('LPPD', fontsize=9)
+        fig.suptitle('NUTS divergences', fontsize=11)
+    fig.tight_layout()
+    return _save(fig, out_dir, 'divergences')
+
+
 # ----------------------------------------------------------------- coverage
 def coverage_figure(df: pd.DataFrame, out_dir: Path) -> str | None:
     """Empirical vs nominal central-interval coverage, one line per
@@ -351,6 +394,7 @@ def render_all(df: pd.DataFrame, out_dir: Path) -> list[str]:
     made.append(sampling_times_figure(df, out_dir))
     made.append(grad_evals_figure(df, out_dir))
     made.append(diagnostics_figure(df, out_dir))
+    made.append(divergence_figure(df, out_dir))
     made.append(coverage_figure(df, out_dir))
     for metric in ('lppd', 'de_lppd', 'rmse', 'acc', 'cal_error'):
         for axis in ('data.path', 'rng', 'data.datapoint_limit'):

@@ -56,7 +56,7 @@ def timed(fn, *args, repeats=3):
 def main(draws: int):
     data_cfg = DataConfig(path='data/bikesharing.data', task=Task.REGRESSION,
                           train_split=0.7, valid_split=0.1, test_split=0.2)
-    loader = TabularLoader(data_cfg, jax.random.PRNGKey(0))
+    loader = TabularLoader(data_cfg, 0)
     module = build_model(FCNConfig(hidden_structure=[16, 16, 2]))
     x, y = loader.arrays('train')
     template = module.init(jax.random.PRNGKey(1), x[:1])['params']

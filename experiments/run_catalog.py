@@ -187,12 +187,32 @@ def build_jobs() -> list[Job]:
                             {'rng': rng, 'data.datapoint_limit': limit},
                             warmstart_from=provider))
 
+    # ---- 4a2. MCLMC matmul-dtype A/B on the headline airfoil config
+    # (VERDICT r4 next 4): default bf16 matmul passes vs strict-f32
+    # matmuls vs bf16 forward-activations. Quantifies what the fast path
+    # costs in tuned (eps, L) drift and LPPD; pooled rows carry
+    # step_size_mean/L_mean so the drift is one groupby away.
+    for rng in ABLATION_SEEDS:
+        for tag, overrides in (
+                ('f32def', {}),
+                ('f32strict',
+                 {'training.sampler.matmul_precision': 'float32'}),
+                ('bf16fwd',
+                 {'training.sampler.compute_dtype': 'bfloat16'})):
+            jobs.append(Job(
+                'dtype_ab', f'airfoil_mclmc_{tag}_r{rng}',
+                'configs/illustrative_airfoil_mclmc.yaml',
+                {'rng': rng, **overrides}))
+
     # ---- 4b. NUTS target-acceptance sweep (VERDICT r3 next 3: baseline
     # 0.8 leaves 5-6% divergent draws; sweep 0.9/0.95 and pick a
     # divergence-aware default). Providers are the complexity-study
     # 16x16x16 MCLMC warmstarts, resolved against --root (ADVICE r3).
+    # 0.8 rows make the study CSV self-contained (VERDICT r4 weak 4: the
+    # baseline the 0.9 default decision was made against must live in the
+    # same table, run under the same harness)
     for rng in ABLATION_SEEDS:
-        for ta in (0.9, 0.95):
+        for ta in (0.8, 0.9, 0.95):
             jobs.append(Job(
                 'nuts_ta', f'bike_nuts_ta{int(ta * 100)}_r{rng}',
                 'configs/ablations/complexity_bike_nuts.yaml',
@@ -313,16 +333,22 @@ def main() -> int:
     fault_counts: dict[str, int] = {}
     if fault_log.exists():
         for line in fault_log.read_text().splitlines():
-            name = json.loads(line)['job']
-            fault_counts[name] = fault_counts.get(name, 0) + 1
+            rec = json.loads(line)
+            # ledger keyed by study/job (old entries lack 'study': keep
+            # keying those by bare name for backward compat — ADVICE r4)
+            key = (f"{rec['study']}/{rec['job']}" if 'study' in rec
+                   else rec['job'])
+            fault_counts[key] = fault_counts.get(key, 0) + 1
 
     done = skipped = failed = 0
     stopped = False
     for i, job in enumerate(jobs):
-        if fault_counts.get(job.name, 0) >= 2:
+        strikes = (fault_counts.get(f'{job.study}/{job.name}', 0)
+                   + fault_counts.get(job.name, 0))
+        if strikes >= 2:
             logger.error('[%d/%d] %s skipped: faulted the device %d times '
                          '(see %s)', i + 1, len(jobs), job.name,
-                         fault_counts[job.name], fault_log)
+                         strikes, fault_log)
             skipped += 1
             continue
         if (root / 'STOP').exists():
@@ -370,20 +396,30 @@ def main() -> int:
                          traceback.format_exc())
             rec = {'job': job.name, 'study': job.study, 'ok': False,
                    'wall_s': round(wall, 1), 'error': repr(exc)}
-            if 'UNAVAILABLE' in repr(exc) or 'device error' in repr(exc):
+            text = repr(exc)
+            is_fault = ('kernel fault' in text or 'device error' in text
+                        or 'FAILED_PRECONDITION' in text)
+            if is_fault or 'UNAVAILABLE' in text:
                 # a device fault poisons THIS process: every further job
                 # insta-fails (observed: one protein-NUTS kernel fault
                 # burned 14 queued jobs in 6 s). Bail out with a distinct
                 # code so a wrapper can relaunch a fresh process that
-                # resumes via the skip logic.
+                # resumes via the skip logic. Only KERNEL-FAULT-shaped
+                # errors count a ledger strike — gRPC also says
+                # UNAVAILABLE for transient tunnel blips, and two blips
+                # must not permanently skip a healthy job (ADVICE r4).
                 qlog.write(json.dumps(rec) + '\n')
                 qlog.flush()
-                with open(fault_log, 'a') as f:
-                    f.write(json.dumps({'job': job.name,
-                                        'wall_s': round(wall, 1)}) + '\n')
-                logger.error('device unavailable — exiting for relaunch '
-                             '(done=%d skip=%d fail=%d)', done, skipped,
-                             failed)
+                if is_fault:
+                    with open(fault_log, 'a') as f:
+                        f.write(json.dumps({'study': job.study,
+                                            'job': job.name,
+                                            'wall_s': round(wall, 1)})
+                                + '\n')
+                logger.error('device %s — exiting for relaunch '
+                             '(done=%d skip=%d fail=%d)',
+                             'fault' if is_fault else 'unavailable',
+                             done, skipped, failed)
                 return 70
         qlog.write(json.dumps(rec) + '\n')
         qlog.flush()

@@ -72,7 +72,7 @@ def main(argv=None) -> dict:
         # reference: 54k train / 6k valid / 10k test = 77/9/14
         train_split=0.77, valid_split=0.09, test_split=0.14,
     )
-    loader = ImageLoader(data_cfg, jax.random.PRNGKey(0))
+    loader = ImageLoader(data_cfg, 0)
     x_train, y_train = loader.arrays('train')
     x_test, y_test = loader.arrays('test')
     if args.eval_limit:

@@ -31,7 +31,7 @@ from mile_tpu.mcmc.adaptation.window import run_window_adaptation  # noqa: E402
 def main(warmup_steps=500, n_chains=8):
     data_cfg = DataConfig(path='data/bikesharing.data', data_type='tabular',
                           task='regr', datapoint_limit=800)
-    loader = build_loader(data_cfg, jax.random.PRNGKey(0))
+    loader = build_loader(data_cfg, 0)
     from mile_tpu.models import build_model
     module = build_model(FCNConfig(hidden_structure=[16, 16, 2]),
                          data_config=data_cfg)

@@ -107,6 +107,13 @@ class SamplerConfig(BaseConfig):
     # run the network forward in this dtype ('bfloat16' targets the MXU's
     # native rate) while likelihood/prior/energy accounting stay float32
     compute_dtype: Optional[str] = None
+    # MCLMC-only: force every matmul in the sampling runtime to this XLA
+    # precision ('float32' = 6-pass exact f32; None = TPU default bf16
+    # passes). The HMC/NUTS runtime always forces float32 (the MH test
+    # needs exact energies); MCLMC has no accept step, so the default is
+    # the fast path — this knob exists for the round-5 dtype A/B
+    # (VERDICT r4 next 4) and as an exactness preset.
+    matmul_precision: Optional[str] = None
     # HMC-only: number of leapfrog steps per proposal.
     num_integration_steps: int = 32
     # NUTS/HMC-only: dual-averaging acceptance target for window
@@ -117,6 +124,12 @@ class SamplerConfig(BaseConfig):
     # 880-1592/12k); 0.95 buys nothing further. Set 0.8 to mirror the
     # reference's implicit BlackJAX default exactly.
     target_acceptance: float = 0.9
+    # NUTS-only: max tree doublings per draw (BlackJAX name; tree caps at
+    # 2^max_num_doublings - 1 leapfrogs). The default 10 matches the
+    # reference's BlackJAX stack; lower values bound per-draw latency and
+    # are the first mitigation lever for the remote 48-width/protein
+    # kernel fault (VERDICT r4 next 2).
+    max_num_doublings: int = 10
     # devices along a second mesh axis sharding the TRAINING SET within
     # each chain group (log-lik contributions psum'd over ICI by GSPMD);
     # lets n_chains < n_devices use every chip. 1 = chain axis only.
@@ -135,7 +148,8 @@ class SamplerConfig(BaseConfig):
             return mclmc.build_kernel(logdensity_fn,
                                       integrator=self.integrator)
         if self.name == Sampler.NUTS:
-            return nuts.build_kernel(logdensity_fn)
+            return nuts.build_kernel(logdensity_fn,
+                                     max_depth=self.max_num_doublings)
         return hmc.build_kernel(
             logdensity_fn, num_integration_steps=self.num_integration_steps)
 
@@ -150,6 +164,14 @@ class SamplerConfig(BaseConfig):
             raise ConfigError('sampler.data_sharding must be >= 1')
         if not 0.0 < self.target_acceptance < 1.0:
             raise ConfigError('sampler.target_acceptance must be in (0, 1)')
+        if not 1 <= self.max_num_doublings <= 20:
+            raise ConfigError(
+                'sampler.max_num_doublings must be in [1, 20]')
+        if self.matmul_precision not in (None, 'float32', 'bfloat16',
+                                         'tensorfloat32'):
+            raise ConfigError(
+                "sampler.matmul_precision must be one of None/'float32'/"
+                f"'bfloat16'/'tensorfloat32', got {self.matmul_precision!r}")
         if self.integrator not in ('mclachlan', 'mclachlan_pallas'):
             raise ConfigError(
                 "sampler.integrator must be 'mclachlan' or "

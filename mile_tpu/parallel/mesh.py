@@ -57,7 +57,8 @@ def chain_data_mesh(n_chain_devices: int, n_data_devices: int,
     return Mesh(grid, (CHAIN_AXIS, DATA_AXIS))
 
 
-def pick_chain_device_count(n_chains: int, max_devices: Optional[int] = None) -> int:
+def pick_chain_device_count(n_chains: int, max_devices: Optional[int] = None,
+                            quiet: bool = False) -> int:
     """Largest device count that divides ``n_chains``.
 
     The reference *asserts* divisibility (trainer.py:75-79); we degrade
@@ -72,7 +73,7 @@ def pick_chain_device_count(n_chains: int, max_devices: Optional[int] = None) ->
     n = cap
     while n_chains % n != 0:
         n -= 1
-    if n < cap:
+    if n < cap and not quiet:
         logging.getLogger(__name__).warning(
             '%d chains do not divide over %d devices; using %d device(s), '
             '%d idle. Pick n_chains as a multiple of the device count '
@@ -94,7 +95,10 @@ def padded_chain_count(n_chains: int,
     RNG streams; callers slice them out of every result.
     """
     avail = len(jax.devices()) if max_devices is None else max_devices
-    n_div = pick_chain_device_count(n_chains, max_devices)
+    # quiet: the caller (trainer init) already warned via its own
+    # pick_chain_device_count call, and padding usually FIXES the idle
+    # devices the warning complains about (ADVICE r4)
+    n_div = pick_chain_device_count(n_chains, max_devices, quiet=True)
     if avail <= 0 or n_chains <= avail:
         return n_chains
     padded = -(-n_chains // avail) * avail

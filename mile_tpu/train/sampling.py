@@ -132,6 +132,34 @@ def run_mclmc(
     checkpoint_dir=None,
     checkpoint_format: str = 'npz',
 ) -> SamplingResult:
+    """MCLMC pipeline dispatcher: applies ``cfg.matmul_precision`` (the
+    exact-f32 preset / dtype-A/B knob — MCLMC has no MH test, so unlike
+    NUTS the default stays the TPU's fast bf16 matmul passes) around the
+    whole warmup+sampling program, then runs :func:`_run_mclmc`."""
+    if cfg.matmul_precision is not None:
+        with jax.default_matmul_precision(cfg.matmul_precision):
+            return _run_mclmc(
+                logdensity_fn, cfg, rng_key, init_positions, mesh,
+                max_chunk_bytes, sample_sink, chain_aux, checkpoint_dir,
+                checkpoint_format)
+    return _run_mclmc(
+        logdensity_fn, cfg, rng_key, init_positions, mesh,
+        max_chunk_bytes, sample_sink, chain_aux, checkpoint_dir,
+        checkpoint_format)
+
+
+def _run_mclmc(
+    logdensity_fn: Callable,
+    cfg: SamplerConfig,
+    rng_key: jax.Array,
+    init_positions: jnp.ndarray,   # (n_chains, dim)
+    mesh=None,
+    max_chunk_bytes: int = 1 << 30,
+    sample_sink: Optional[Callable] = None,
+    chain_aux=None,
+    checkpoint_dir=None,
+    checkpoint_format: str = 'npz',
+) -> SamplingResult:
     """Full MCLMC pipeline: warmup then ``n_samples`` kernel steps per
     chain, keeping every ``n_thinning``-th position.
 

@@ -92,7 +92,8 @@ def _run_hmc_family(
 
     def make_kernel(logdensity):
         if cfg.name == Sampler.NUTS:
-            return nuts.build_kernel(logdensity)
+            return nuts.build_kernel(logdensity,
+                                     max_depth=cfg.max_num_doublings)
         return hmc.build_kernel(
             logdensity, num_integration_steps=cfg.num_integration_steps)
 

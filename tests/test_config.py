@@ -156,3 +156,15 @@ def test_schema():
     s = Config.schema()
     assert 'data' in s and 'model' in s and 'training' in s
     assert 'sampler' in s['training']
+
+
+def test_sampler_knob_validation():
+    from mile_tpu.config.training import SamplerConfig
+    from mile_tpu.config.base import ConfigError
+
+    with pytest.raises(ConfigError, match='max_num_doublings'):
+        SamplerConfig(max_num_doublings=0)
+    with pytest.raises(ConfigError, match='matmul_precision'):
+        SamplerConfig(matmul_precision='f32')  # must be 'float32'
+    cfg = SamplerConfig(max_num_doublings=6, matmul_precision='float32')
+    assert cfg.max_num_doublings == 6

@@ -20,7 +20,7 @@ def cfg():
 
 @pytest.fixture
 def loader(cfg):
-    return TabularLoader(cfg, jax.random.PRNGKey(0))
+    return TabularLoader(cfg, 0)
 
 
 def test_splits_and_shapes(loader):
@@ -65,7 +65,7 @@ def test_classification_labels_int():
         valid_split=0.1,
         test_split=0.1,
     )
-    loader = build_loader(cfg, jax.random.PRNGKey(0))
+    loader = build_loader(cfg, 0)
     _, y = loader.arrays('train')
     assert y.dtype == jnp.int32
     assert set(jax.device_get(y).tolist()) <= {0, 1}
@@ -73,12 +73,12 @@ def test_classification_labels_int():
 
 def test_datapoint_limit(cfg):
     limited = TabularLoader(
-        cfg.replace(datapoint_limit=100), jax.random.PRNGKey(0)
+        cfg.replace(datapoint_limit=100), 0
     )
     assert len(limited) == 100
 
 
 def test_deterministic_given_seed(cfg):
-    l1 = TabularLoader(cfg, jax.random.PRNGKey(3))
-    l2 = TabularLoader(cfg, jax.random.PRNGKey(3))
+    l1 = TabularLoader(cfg, 3)
+    l2 = TabularLoader(cfg, 3)
     assert jnp.allclose(l1.arrays('train')[0], l2.arrays('train')[0])

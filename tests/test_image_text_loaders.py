@@ -39,7 +39,7 @@ def test_image_loader_shapes(image_npz):
     cfg = DataConfig(path=str(image_npz), data_type=DatasetType.IMAGE,
                      task=Task.CLASSIFICATION, train_split=0.7,
                      valid_split=0.15, test_split=0.15)
-    loader = ImageLoader(cfg, jax.random.PRNGKey(0))
+    loader = ImageLoader(cfg, 0)
     x, y = loader.arrays('train')
     assert x.shape == (140, 1, 8, 8)       # channel dim added, NCHW
     assert y.dtype == jnp.int32
@@ -70,7 +70,7 @@ def test_text_loader_end_to_end(text_csv):
     cfg = DataConfig(path=str(text_csv), data_type=DatasetType.TEXT,
                      task=Task.CLASSIFICATION, train_split=0.7,
                      valid_split=0.15, test_split=0.15)
-    loader = TextLoader(cfg, jax.random.PRNGKey(0), context_len=24)
+    loader = TextLoader(cfg, 0, context_len=24)
     x, y = loader.arrays('train')
     assert x.shape[1] == 24
     assert x.dtype == jnp.int32
@@ -91,11 +91,11 @@ def test_build_loader_dispatch(image_npz, text_csv):
 
     img = build_loader(
         DataConfig(path=str(image_npz), data_type=DatasetType.IMAGE,
-                   task=Task.CLASSIFICATION), jax.random.PRNGKey(0))
+                   task=Task.CLASSIFICATION), 0)
     assert isinstance(img, ImageLoader)
     txt = build_loader(
         DataConfig(path=str(text_csv), data_type=DatasetType.TEXT,
-                   task=Task.CLASSIFICATION), jax.random.PRNGKey(0))
+                   task=Task.CLASSIFICATION), 0)
     assert isinstance(txt, TextLoader)
 
 
@@ -103,7 +103,7 @@ def test_torchvision_gated_error():
     cfg = DataConfig(path='MNIST', source='torchvision',
                      data_type=DatasetType.IMAGE, task=Task.CLASSIFICATION)
     with pytest.raises(ImportError, match='torchvision'):
-        ImageLoader(cfg, jax.random.PRNGKey(0))
+        ImageLoader(cfg, 0)
 
 
 def test_torchvision_download_path(monkeypatch):
@@ -135,7 +135,7 @@ def test_torchvision_download_path(monkeypatch):
     cfg = DataConfig(path='CIFAR10', source='torchvision',
                      data_type=DatasetType.IMAGE, task=Task.CLASSIFICATION,
                      train_split=0.75, valid_split=0.125, test_split=0.125)
-    loader = ImageLoader(cfg, jax.random.PRNGKey(0))
+    loader = ImageLoader(cfg, 0)
     x, y = loader.arrays('train')
     assert x.shape == (48, 3, 8, 8)            # 64 total * 0.75, NCHW
     assert float(x.max()) <= 1.0 and float(x.min()) >= 0.0
@@ -146,7 +146,7 @@ def test_torchvision_download_path(monkeypatch):
     bad = DataConfig(path='SVHN', source='torchvision',
                      data_type=DatasetType.IMAGE, task=Task.CLASSIFICATION)
     with pytest.raises(ValueError, match='SVHN'):
-        ImageLoader(bad, jax.random.PRNGKey(0))
+        ImageLoader(bad, 0)
 
 
 def test_config_json_roundtrip(tmp_path):

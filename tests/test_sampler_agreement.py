@@ -31,7 +31,7 @@ def posterior():
     data_cfg = DataConfig(path='data/airfoil.data', task=Task.REGRESSION,
                           datapoint_limit=300, train_split=0.7,
                           valid_split=0.1, test_split=0.2)
-    loader = TabularLoader(data_cfg, jax.random.PRNGKey(0))
+    loader = TabularLoader(data_cfg, 0)
     module = build_model(FCNConfig(hidden_structure=[4, 2]))
     x, y = loader.arrays('train')
     template = module.init(jax.random.PRNGKey(1), x[:1])['params']
@@ -92,7 +92,7 @@ def test_bnn_scale_three_sampler_agreement():
     data_cfg = DataConfig(path='data/airfoil.data', task=Task.REGRESSION,
                           datapoint_limit=400, train_split=0.7,
                           valid_split=0.1, test_split=0.2)
-    loader = TabularLoader(data_cfg, jax.random.PRNGKey(0))
+    loader = TabularLoader(data_cfg, 0)
     module = build_model(FCNConfig(hidden_structure=[16, 16, 16, 2]))
     x, y = loader.arrays('train')
     template = module.init(jax.random.PRNGKey(1), x[:1])['params']

@@ -15,7 +15,7 @@ from mile_tpu.train.warmstart import earlystop_mask, train_ensemble
 def _setup():
     data_cfg = DataConfig(path='data/airfoil.data', task=Task.REGRESSION,
                           train_split=0.7, valid_split=0.1, test_split=0.2)
-    loader = TabularLoader(data_cfg, jax.random.PRNGKey(0))
+    loader = TabularLoader(data_cfg, 0)
     model = build_model(FCNConfig(hidden_structure=[16, 16, 2]))
     return loader, model
 
@@ -75,7 +75,7 @@ def test_earlystop_mask_logic():
 def test_classification_training():
     data_cfg = DataConfig(path='data/sonar_proc.data', task=Task.CLASSIFICATION,
                           train_split=0.8, valid_split=0.1, test_split=0.1)
-    loader = TabularLoader(data_cfg, jax.random.PRNGKey(0))
+    loader = TabularLoader(data_cfg, 0)
     model = build_model(FCNConfig(hidden_structure=[16, 2]))
     cfg = WarmstartConfig(max_epochs=20, batch_size=32, patience=None)
     params, store = train_ensemble(
