@@ -1,0 +1,44 @@
+#!/usr/bin/env bash
+# Round-5 queue, part 2 (run after r5_chip_queue.sh drains):
+#   7. 48-chain production-scale artifact run (VERDICT r4 next 8) +
+#      manifest for docs/ARTIFACTS.md
+#   8. datasize-NUTS + complexity-48-NUTS fill — attempt ONLY via the
+#      mitigation found by the fault probe; the run_catalog harness
+#      contains faults (exit 70 + ledger) either way.
+set -u
+cd "$(dirname "$0")/.."
+L=results/catalog_r3
+mkdir -p "$L"
+
+run_catalog() {
+    local attempt rc
+    for attempt in 1 2 3; do
+        nice -n 5 python experiments/run_catalog.py --root "$L" "$@"
+        rc=$?
+        if [ "$rc" -eq 75 ]; then
+            echo "=== STOP honored during: $* $(date)"
+            exit 75
+        fi
+        if [ "$rc" -ne 70 ]; then
+            return 0
+        fi
+        echo "=== device fault during: $* (attempt $attempt); cooling off 180s $(date)"
+        sleep 180
+    done
+    echo "=== stage abandoned after repeated device faults: $* $(date)"
+    return 0
+}
+
+{
+    echo "=== r5 queue p2 start $(date)"
+
+    echo "--- stage 7: 48-chain artifact run $(date)"
+    rm -rf results/repl_uci/mclmc_48
+    nice -n 5 python train.py -c configs/replicate_uci/mclmc_48.yaml
+    python experiments/make_manifest.py results/repl_uci/mclmc_48 \
+        > aggr_results/manifest_mclmc_48.md || true
+    grep -E 'LPPD|time\.' results/repl_uci/mclmc_48/training.log || true
+
+    echo "=== r5 queue p2 complete $(date)"
+    echo PIPELINE_DONE_R5P2
+} >> "$L/r5_queue.log" 2>&1
