@@ -188,6 +188,88 @@ def run_cell(cell: dict) -> dict:
     return rec
 
 
+def dump_hlo(cell: dict) -> dict:
+    """Characterize the faulting program WITHOUT running it: trace + lower
+    the exact NUTS warmup/sampling computations of ``cell`` and report
+    StableHLO statistics (op counts, while-loop nesting, largest buffer).
+    Runs fine on CPU (tracing is backend-independent) — set
+    MILE_PROBE_CPU=1 to keep the chip untouched."""
+    import re
+
+    import jax
+    import jax.numpy as jnp
+
+    if os.environ.get('MILE_PROBE_CPU'):
+        jax.config.update('jax_platforms', 'cpu')
+
+    from mile_tpu.bayes import BayesianModel, Prior
+    from mile_tpu.config import DataConfig, FCNConfig, PriorDist, Task
+    from mile_tpu.data import TabularLoader
+    from mile_tpu.mcmc import nuts
+    from mile_tpu.mcmc.adaptation.window import run_window_adaptation
+    from mile_tpu.models import build_model
+
+    w = cell['width']
+    data_cfg = DataConfig(task=Task.REGRESSION,
+                          datapoint_limit=cell.get('datapoint_limit'),
+                          **cell['data'])
+    loader = TabularLoader(data_cfg, 0)
+    x, y = loader.arrays('train')
+    module = build_model(FCNConfig(hidden_structure=[w, w, w, 2]))
+    template = module.init(jax.random.PRNGKey(1), x[:1])['params']
+    bayes = BayesianModel(
+        module, template, Prior.from_name(PriorDist.STANDARD_NORMAL),
+        Task.REGRESSION)
+    logdensity = bayes.logdensity_fn(x, y)
+    n_chains = cell.get('n_chains', 12)
+    mnd = cell.get('max_num_doublings', 10)
+
+    def warmup_one(position, key):
+        state = nuts.init(position, logdensity)
+        kernel = nuts.build_kernel(logdensity, max_depth=mnd)
+        return run_window_adaptation(
+            kernel, state, key, 100, initial_step_size=1e-3,
+            target_acceptance_rate=0.8)
+
+    keys = jax.random.split(jax.random.PRNGKey(2), n_chains)
+    positions = jax.vmap(
+        lambda k: 0.05 * jax.random.normal(k, (bayes.dim,)))(keys)
+    with jax.default_matmul_precision('float32'):
+        lowered = jax.jit(jax.vmap(warmup_one)).lower(positions, keys)
+    text = lowered.as_text()
+    ops = {op: len(re.findall(rf'stablehlo\.{op}\b', text))
+           for op in ('while', 'dot_general', 'dynamic_update_slice',
+                      'dynamic_slice', 'scatter', 'gather')}
+    # nesting depth of while ops by brace tracking around stablehlo.while
+    depth = cur = 0
+    for line in text.splitlines():
+        if 'stablehlo.while' in line:
+            cur += 1
+            depth = max(depth, cur)
+        cur += line.count('{') - line.count('}')
+        cur = max(cur, 0)
+    shapes = [tuple(int(d) for d in m.group(1).split('x'))
+              for m in re.finditer(r'tensor<((?:\d+x)+\d+)xf32>', text)]
+    biggest = max(shapes, key=lambda s: int(np.prod(s))) if shapes else ()
+    rec = dict(
+        name=cell['name'] + '_hlo', dim=bayes.dim, n_train=int(x.shape[0]),
+        n_chains=n_chains, max_num_doublings=mnd,
+        hlo_bytes=len(text),
+        n_while=ops['while'],
+        max_while_nesting=depth,
+        n_dot_general=ops['dot_general'],
+        n_dynamic_update_slice=ops['dynamic_update_slice'],
+        n_dynamic_slice=ops['dynamic_slice'],
+        n_scatter=ops['scatter'], n_gather=ops['gather'],
+        largest_f32_buffer=list(biggest),
+        largest_f32_buffer_mib=round(
+            float(np.prod(biggest)) * 4 / 2**20, 1) if biggest else 0.0)
+    return rec
+
+
+import numpy as np  # noqa: E402  (dump_hlo buffer stats)
+
+
 # -------------------------------------------------------------- parent
 def run_parent(cells, timeout_s: float, cooloff_s: float) -> int:
     OUT.parent.mkdir(parents=True, exist_ok=True)
@@ -244,9 +326,20 @@ def main() -> int:
     ap.add_argument('--bisect', action='store_true')
     ap.add_argument('--mitigations', action='store_true')
     ap.add_argument('--cell', type=str, default=None)
+    ap.add_argument('--hlo', type=str, default=None,
+                    help='JSON cell: dump lowered-HLO statistics (no '
+                         'execution; MILE_PROBE_CPU=1 keeps it off-chip)')
     ap.add_argument('--timeout', type=float, default=1800)
     ap.add_argument('--cooloff', type=float, default=180)
     args = ap.parse_args()
+
+    if args.hlo:
+        rec = dump_hlo(json.loads(args.hlo))
+        print(json.dumps(rec))
+        OUT.parent.mkdir(parents=True, exist_ok=True)
+        with open(OUT, 'a') as f:
+            f.write(json.dumps(rec) + '\n')
+        return 0
 
     if args.cell:
         cell = json.loads(args.cell)
