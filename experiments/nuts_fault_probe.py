@@ -63,6 +63,19 @@ def _cells_bisect():
     return cells
 
 
+def _cells_verify_mitigation():
+    """The production mitigation (warmup trees capped at 8, sampling at
+    full depth 10) on both previously-faulting cells, through the real
+    run_hmc_family path."""
+    return [
+        dict(name='bike48_warmupcap8', data=BIKE, width=48, n_draws=50,
+             warmup_max_num_doublings=8),
+        dict(name='protein_n40000_warmupcap8', data=PROTEIN, width=16,
+             datapoint_limit=40000, n_draws=50,
+             warmup_max_num_doublings=8),
+    ]
+
+
 def _cells_mitigations():
     cells = []
     for base, tag in ((dict(data=BIKE, width=48), 'bike48'),
@@ -127,6 +140,7 @@ def run_cell(cell: dict) -> dict:
         n_samples=cell.get('n_draws', 50), step_size_init=0.001,
         target_acceptance=0.8,
         max_num_doublings=cell.get('max_num_doublings', 10),
+        warmup_max_num_doublings=cell.get('warmup_max_num_doublings'),
         likelihood_chunk_size=cell.get('likelihood_chunk_size'),
         compute_dtype=cell.get('compute_dtype'))
     keys = jax.random.split(jax.random.PRNGKey(2), n_chains)
@@ -325,6 +339,7 @@ def main() -> int:
     ap.add_argument('--repro', action='store_true')
     ap.add_argument('--bisect', action='store_true')
     ap.add_argument('--mitigations', action='store_true')
+    ap.add_argument('--verify-mitigation', action='store_true')
     ap.add_argument('--cell', type=str, default=None)
     ap.add_argument('--hlo', type=str, default=None,
                     help='JSON cell: dump lowered-HLO statistics (no '
@@ -359,6 +374,8 @@ def main() -> int:
         cells += _cells_bisect()
     if args.mitigations:
         cells += _cells_mitigations()
+    if args.verify_mitigation:
+        cells += _cells_verify_mitigation()
     if not cells:
         print(__doc__)
         return 2

@@ -32,7 +32,35 @@ run_catalog() {
 {
     echo "=== r5 queue p2 start $(date)"
 
-    echo "--- stage 7: 48-chain artifact run $(date)"
+    echo "--- stage 7: verify warmup-depth-cap mitigation end-to-end $(date)"
+    nice -n 5 python experiments/nuts_fault_probe.py --verify-mitigation
+
+    echo "--- stage 8: datasize-NUTS fill (warmup trees capped at 8) $(date)"
+    run_catalog --only datasize --name-filter nuts
+
+    echo "--- stage 9: complexity 48-width NUTS fill $(date)"
+    run_catalog --only complexity --name-filter 'nuts_48x48x48'
+
+    echo "--- stage 10: merge new NUTS rows into pooled CSVs $(date)"
+    python experiments/pool_results.py results/catalog_r3/datasize \
+        -o /tmp/pool_datasize_r5.csv || true
+    python experiments/pool_results.py results/catalog_r3/complexity \
+        -o /tmp/pool_complexity_r5.csv || true
+    python - <<'PY' || true
+import pandas as pd
+for study in ('datasize', 'complexity'):
+    old = pd.read_csv(f'aggr_results/aggr_{study}.csv')
+    try:
+        new = pd.read_csv(f'/tmp/pool_{study}_r5.csv')
+    except Exception:
+        continue
+    merged = (pd.concat([old, new], ignore_index=True)
+              .drop_duplicates(subset='experiment_dir', keep='last'))
+    merged.to_csv(f'aggr_results/aggr_{study}.csv', index=False)
+    print(study, 'rows:', len(old), '->', len(merged))
+PY
+
+    echo "--- stage 11: 48-chain artifact run $(date)"
     rm -rf results/repl_uci/mclmc_48
     nice -n 5 python train.py -c configs/replicate_uci/mclmc_48.yaml
     python experiments/make_manifest.py results/repl_uci/mclmc_48 \

@@ -167,10 +167,16 @@ def build_jobs() -> list[Job]:
             jobs.append(Job('complexity', provider,
                             'configs/ablations/complexity_bike_mclmc.yaml',
                             {'rng': rng, 'model.hidden_structure': struct}))
+            nuts_over = {'rng': rng, 'model.hidden_structure': struct}
+            if max(struct) >= 44:
+                # 44+-width NUTS faults the remote TPU in the depth-10
+                # window-adaptation program; capping ONLY the warmup
+                # trees at 8 runs it (round-5 fault probe). Sampling
+                # keeps full depth — reference parity for the draws.
+                nuts_over['training.sampler.warmup_max_num_doublings'] = 8
             jobs.append(Job('complexity', f'bike_nuts_{tag}_r{rng}',
                             'configs/ablations/complexity_bike_nuts.yaml',
-                            {'rng': rng, 'model.hidden_structure': struct},
-                            warmstart_from=provider))
+                            nuts_over, warmstart_from=provider))
             jobs.append(Job('complexity', f'bike_de_{tag}_r{rng}',
                             'configs/ablations/complexity_bike_de.yaml',
                             {'rng': rng, 'model.hidden_structure': struct}))
@@ -184,7 +190,13 @@ def build_jobs() -> list[Job]:
                             {'rng': rng, 'data.datapoint_limit': limit}))
             jobs.append(Job('datasize', f'protein_nuts_n{limit}_r{rng}',
                             'configs/ablations/datasize_protein_nuts.yaml',
-                            {'rng': rng, 'data.datapoint_limit': limit},
+                            # warmup depth cap 8 on the WHOLE arm (not
+                            # just the faulting 40k cells) so the
+                            # datasize axis is internally consistent;
+                            # sampling trees keep full depth 10
+                            {'rng': rng, 'data.datapoint_limit': limit,
+                             'training.sampler'
+                             '.warmup_max_num_doublings': 8},
                             warmstart_from=provider))
 
     # ---- 4a2. MCLMC matmul-dtype A/B on the headline airfoil config

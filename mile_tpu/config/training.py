@@ -130,6 +130,15 @@ class SamplerConfig(BaseConfig):
     # are the first mitigation lever for the remote 48-width/protein
     # kernel fault (VERDICT r4 next 2).
     max_num_doublings: int = 10
+    # NUTS-only: tree-doubling cap for the WARMUP (window adaptation)
+    # phase only; None = same as max_num_doublings. The round-5 fault
+    # probe (aggr_results/nuts_fault_probe.jsonl) localized the remote
+    # TPU kernel fault to the vmapped window-adaptation program at
+    # depth 10 on wide/large posteriors — fixed-eps depth-10 sampling of
+    # the same posteriors is fine, and capping only the warmup trees at 8
+    # runs every previously-faulting cell while keeping full-depth draws
+    # (docs/RESULTS.md round 5).
+    warmup_max_num_doublings: Optional[int] = None
     # devices along a second mesh axis sharding the TRAINING SET within
     # each chain group (log-lik contributions psum'd over ICI by GSPMD);
     # lets n_chains < n_devices use every chip. 1 = chain axis only.
@@ -167,6 +176,10 @@ class SamplerConfig(BaseConfig):
         if not 1 <= self.max_num_doublings <= 20:
             raise ConfigError(
                 'sampler.max_num_doublings must be in [1, 20]')
+        if (self.warmup_max_num_doublings is not None
+                and not 1 <= self.warmup_max_num_doublings <= 20):
+            raise ConfigError(
+                'sampler.warmup_max_num_doublings must be in [1, 20]')
         if self.matmul_precision not in (None, 'float32', 'bfloat16',
                                          'tensorfloat32'):
             raise ConfigError(

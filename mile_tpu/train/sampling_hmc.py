@@ -90,10 +90,17 @@ def _run_hmc_family(
     n_chains, dim = init_positions.shape
     warmup_key, sample_key = jax.random.split(rng_key)
 
-    def make_kernel(logdensity):
+    def make_kernel(logdensity, warmup: bool = False):
         if cfg.name == Sampler.NUTS:
-            return nuts.build_kernel(logdensity,
-                                     max_depth=cfg.max_num_doublings)
+            # warmup may cap tree depth separately: the remote TPU kernel
+            # fault reproduces ONLY in the depth-10 window-adaptation
+            # program on wide/large posteriors, while depth-10 sampling
+            # of the same posteriors is fine (round-5 fault probe,
+            # aggr_results/nuts_fault_probe.jsonl)
+            depth = cfg.max_num_doublings
+            if warmup and cfg.warmup_max_num_doublings is not None:
+                depth = cfg.warmup_max_num_doublings
+            return nuts.build_kernel(logdensity, max_depth=depth)
         return hmc.build_kernel(
             logdensity, num_integration_steps=cfg.num_integration_steps)
 
@@ -160,7 +167,8 @@ def _run_hmc_family(
             logdensity = _bind(logdensity_fn, aux)
             state = chain_init(position, logdensity)
             return run_window_adaptation(
-                make_kernel(logdensity), state, key, cfg.warmup_steps,
+                make_kernel(logdensity, warmup=True), state, key,
+                cfg.warmup_steps,
                 initial_step_size=cfg.step_size_init if cfg.step_size_init
                 else 1.0,
                 target_acceptance_rate=cfg.target_acceptance,

@@ -250,3 +250,27 @@ def test_hmc_family_traces_with_f32_matmul_precision():
         sh._run_hmc_family = orig
     assert captured, 'no matmuls traced'
     assert all(p is not None and 'HIGHEST' in str(p) for p in captured), captured
+
+
+def test_warmup_depth_cap_runs():
+    """warmup_max_num_doublings caps only the window-adaptation trees
+    (the round-5 remote-fault mitigation); sampling keeps full depth and
+    draws stay finite."""
+    import jax
+    import jax.numpy as jnp
+
+    from mile_tpu.config import SamplerConfig
+    from mile_tpu.config.training import Sampler
+    from mile_tpu.train.sampling_hmc import run_hmc_family
+
+    def logdensity(theta):
+        return -0.5 * jnp.sum(theta ** 2)
+
+    cfg = SamplerConfig(name=Sampler.NUTS, warmup_steps=30, n_chains=2,
+                        n_samples=10, step_size_init=0.5,
+                        target_acceptance=0.8, max_num_doublings=10,
+                        warmup_max_num_doublings=4)
+    pos = 0.5 * jax.random.normal(jax.random.PRNGKey(0), (2, 3))
+    res = run_hmc_family(logdensity, cfg, jax.random.PRNGKey(1), pos)
+    assert res.samples.shape == (2, 10, 3)
+    assert bool(jnp.all(jnp.isfinite(res.samples)))
