@@ -43,7 +43,13 @@ jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 
 OUT = ROOT / 'aggr_results' / 'dtype_ab_widefcn.jsonl'
 N_CHAINS = 12
-WIDTH = 1024
+# Width 1024 (2.23M params) reproducibly KERNEL-FAULTS the remote TPU in
+# the MCLMC tuner program itself (2 attempts, 2026-08-21 — a second
+# fault family, MCLMC-tuner-shaped, recorded in the jsonl; the same
+# width runs fine at fixed eps, bench.py --fcn-mfu --width 1024). The
+# A/B runs at width 512 (590k params) — still matmul-dominated and
+# MXU-filling, with a working tuner.
+WIDTH = int(os.environ.get('MILE_AB_WIDTH', '512'))
 N_ROWS, N_FEAT = 65_536, 128
 WARMUP_STEPS = 500
 TIMED_STEPS = 10
@@ -67,26 +73,26 @@ def build(compute_dtype):
     return bayes, bayes.logdensity_fn(x, y)
 
 
-def run_arm(tag: str, compute_dtype, matmul_precision) -> dict:
+def run_arm(tag: str, compute_dtype, warm_prec, sample_prec) -> dict:
     from mile_tpu.config import SamplerConfig
     from mile_tpu.mcmc import mclmc
-    from mile_tpu.train.sampling import warmup_mclmc
+    from mile_tpu.train.sampling import _prec_ctx, warmup_mclmc
 
     bayes, logdensity = build(compute_dtype)
     cfg = SamplerConfig(warmup_steps=WARMUP_STEPS, n_chains=N_CHAINS,
                         n_samples=TIMED_STEPS, step_size_init=1e-4,
                         desired_energy_var_start=0.5,
                         desired_energy_var_end=0.1,
-                        compute_dtype=compute_dtype,
-                        matmul_precision=matmul_precision)
+                        compute_dtype=compute_dtype)
     keys = jax.random.split(jax.random.PRNGKey(2), N_CHAINS)
     positions = jax.vmap(
         lambda k: 0.02 * jax.random.normal(k, (bayes.dim,)))(keys)
 
     def tuned_and_timed():
         t0 = time.time()
-        states, params, _ = warmup_mclmc(
-            logdensity, cfg, jax.random.PRNGKey(3), positions)
+        with _prec_ctx(warm_prec):
+            states, params, _ = warmup_mclmc(
+                logdensity, cfg, jax.random.PRNGKey(3), positions)
         warmup_wall = time.time() - t0
 
         kernel = mclmc.build_kernel(logdensity)
@@ -105,19 +111,16 @@ def run_arm(tag: str, compute_dtype, matmul_precision) -> dict:
                                    params.step_size, params.sqrt_diag_cov)
 
         run = jax.jit(block)
-        states2, _ = jax.block_until_ready(run(keys, states))  # warm
-        keys2 = jax.vmap(jax.random.fold_in)(
-            keys, jnp.ones(N_CHAINS, dtype=jnp.uint32))
-        t0 = time.perf_counter()
-        jax.block_until_ready(run(keys2, states2))
+        with _prec_ctx(sample_prec):
+            states2, _ = jax.block_until_ready(run(keys, states))  # warm
+            keys2 = jax.vmap(jax.random.fold_in)(
+                keys, jnp.ones(N_CHAINS, dtype=jnp.uint32))
+            t0 = time.perf_counter()
+            jax.block_until_ready(run(keys2, states2))
         elapsed = time.perf_counter() - t0
         return params, warmup_wall, elapsed
 
-    if matmul_precision is not None:
-        with jax.default_matmul_precision(matmul_precision):
-            params, warmup_wall, elapsed = tuned_and_timed()
-    else:
-        params, warmup_wall, elapsed = tuned_and_timed()
+    params, warmup_wall, elapsed = tuned_and_timed()
 
     eps = np.asarray(params.step_size)
     L = np.asarray(params.L)
@@ -127,7 +130,7 @@ def run_arm(tag: str, compute_dtype, matmul_precision) -> dict:
     steps_per_sec = N_CHAINS * TIMED_STEPS / elapsed
     achieved = flops_per_block / elapsed
     return dict(
-        arm=tag, dim=bayes.dim, n_chains=N_CHAINS,
+        arm=f'{tag}_w{WIDTH}', dim=bayes.dim, n_chains=N_CHAINS,
         warmup_steps=WARMUP_STEPS, warmup_wall_s=round(warmup_wall, 1),
         eps_mean=float(eps.mean()), eps_std=float(eps.std()),
         L_mean=float(L.mean()), L_std=float(L.std()),
@@ -138,20 +141,22 @@ def run_arm(tag: str, compute_dtype, matmul_precision) -> dict:
 
 
 def main() -> int:
-    arms = [('f32def', None, None),
-            ('f32strict', None, 'float32'),
-            ('bf16fwd', 'bfloat16', None)]
+    # (tag, compute_dtype, warmup matmul precision, sampling precision)
+    arms = [('f32def', None, None, None),
+            ('f32strict', None, 'float32', 'float32'),
+            ('bf16fwd', 'bfloat16', None, None),
+            ('f32tune', None, 'float32', None)]
     done = set()
     if OUT.exists():
         done = {json.loads(line)['arm'] for line in
-                OUT.read_text().splitlines()}
+                OUT.read_text().splitlines() if line.strip()}
     OUT.parent.mkdir(parents=True, exist_ok=True)
-    for tag, cd, mp in arms:
-        if tag in done:
+    for tag, cd, wp, sp in arms:
+        if f'{tag}_w{WIDTH}' in done:
             print(f'[dtype_ab] {tag}: already recorded, skip')
             continue
         print(f'[dtype_ab] {tag}: starting')
-        rec = run_arm(tag, cd, mp)
+        rec = run_arm(tag, cd, wp, sp)
         with open(OUT, 'a') as f:
             f.write(json.dumps(rec) + '\n')
         print(json.dumps(rec))

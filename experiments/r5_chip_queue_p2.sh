@@ -35,6 +35,15 @@ run_catalog() {
     echo "--- stage 7: verify warmup-depth-cap mitigation end-to-end $(date)"
     nice -n 5 python experiments/nuts_fault_probe.py --verify-mitigation
 
+    echo "--- stage 7b: re-run nuts_ta ta90/95 under round-5 data splits $(date)"
+    # the r5 loader-seed change altered data splits; the ta80 rows ran
+    # under the new splits, so refresh ta90/95 to keep the study CSV
+    # one-harness comparable (VERDICT r4 weak 4)
+    rm -rf results/catalog_r3/nuts_ta/bike_nuts_ta9[05]_r[123]
+    run_catalog --only nuts_ta
+    python experiments/pool_results.py results/catalog_r3/nuts_ta \
+        -o aggr_results/aggr_nuts_ta.csv || true
+
     echo "--- stage 8: datasize-NUTS fill (warmup trees capped at 8) $(date)"
     run_catalog --only datasize --name-filter nuts
 

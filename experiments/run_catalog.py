@@ -210,7 +210,13 @@ def build_jobs() -> list[Job]:
                 ('f32strict',
                  {'training.sampler.matmul_precision': 'float32'}),
                 ('bf16fwd',
-                 {'training.sampler.compute_dtype': 'bfloat16'})):
+                 {'training.sampler.compute_dtype': 'bfloat16'}),
+                # f32 TUNER + fast bf16-pass sampling: MCLMC's sampling
+                # phase never reads energies, so the quality win of
+                # exact-f32 tuning should survive at full default speed
+                ('f32tune',
+                 {'training.sampler'
+                  '.warmup_matmul_precision': 'float32'})):
             jobs.append(Job(
                 'dtype_ab', f'airfoil_mclmc_{tag}_r{rng}',
                 'configs/illustrative_airfoil_mclmc.yaml',

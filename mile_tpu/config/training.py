@@ -114,6 +114,14 @@ class SamplerConfig(BaseConfig):
     # the fast path — this knob exists for the round-5 dtype A/B
     # (VERDICT r4 next 4) and as an exactness preset.
     matmul_precision: Optional[str] = None
+    # MCLMC-only: matmul precision for the TUNER (warmup) phase only;
+    # None = follow matmul_precision. The round-5 dtype A/B
+    # (aggr_results/aggr_dtype_ab.csv) showed bf16 matmul noise inflates
+    # the tuner's measured energy variance ~7x, collapsing the tuned
+    # (eps, L) and costing ~0.07 LPPD on airfoil — while the unadjusted
+    # sampling phase never reads energies, so it keeps full bf16-pass
+    # speed. 'float32' here buys exact-f32 tuning at fast sampling.
+    warmup_matmul_precision: Optional[str] = None
     # HMC-only: number of leapfrog steps per proposal.
     num_integration_steps: int = 32
     # NUTS/HMC-only: dual-averaging acceptance target for window
@@ -180,11 +188,12 @@ class SamplerConfig(BaseConfig):
                 and not 1 <= self.warmup_max_num_doublings <= 20):
             raise ConfigError(
                 'sampler.warmup_max_num_doublings must be in [1, 20]')
-        if self.matmul_precision not in (None, 'float32', 'bfloat16',
-                                         'tensorfloat32'):
-            raise ConfigError(
-                "sampler.matmul_precision must be one of None/'float32'/"
-                f"'bfloat16'/'tensorfloat32', got {self.matmul_precision!r}")
+        for field in ('matmul_precision', 'warmup_matmul_precision'):
+            val = getattr(self, field)
+            if val not in (None, 'float32', 'bfloat16', 'tensorfloat32'):
+                raise ConfigError(
+                    f"sampler.{field} must be one of None/'float32'/"
+                    f"'bfloat16'/'tensorfloat32', got {val!r}")
         if self.integrator not in ('mclachlan', 'mclachlan_pallas'):
             raise ConfigError(
                 "sampler.integrator must be 'mclachlan' or "

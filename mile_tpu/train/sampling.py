@@ -132,20 +132,30 @@ def run_mclmc(
     checkpoint_dir=None,
     checkpoint_format: str = 'npz',
 ) -> SamplingResult:
-    """MCLMC pipeline dispatcher: applies ``cfg.matmul_precision`` (the
-    exact-f32 preset / dtype-A/B knob — MCLMC has no MH test, so unlike
-    NUTS the default stays the TPU's fast bf16 matmul passes) around the
-    whole warmup+sampling program, then runs :func:`_run_mclmc`."""
-    if cfg.matmul_precision is not None:
-        with jax.default_matmul_precision(cfg.matmul_precision):
-            return _run_mclmc(
-                logdensity_fn, cfg, rng_key, init_positions, mesh,
-                max_chunk_bytes, sample_sink, chain_aux, checkpoint_dir,
-                checkpoint_format)
+    """MCLMC pipeline dispatcher with PHASE-scoped matmul precision.
+
+    MCLMC has no MH accept step, so unlike the NUTS/HMC runtime the
+    sampling phase defaults to the TPU's fast bf16 matmul passes. The
+    TUNER however reads per-step energy changes, and bf16 matmul noise
+    inflates its measured energy variance — the round-5 on-chip A/B
+    (aggr_results/aggr_dtype_ab.csv, airfoil x 3 seeds) measured tuned
+    eps collapsing 0.038 -> 0.005 and ~0.07 LPPD lost under the fast
+    default. ``warmup_matmul_precision`` therefore scopes exact-f32 to
+    the warmup program only; ``matmul_precision`` covers both phases."""
+    warm_prec = cfg.warmup_matmul_precision or cfg.matmul_precision
     return _run_mclmc(
         logdensity_fn, cfg, rng_key, init_positions, mesh,
         max_chunk_bytes, sample_sink, chain_aux, checkpoint_dir,
-        checkpoint_format)
+        checkpoint_format, warm_prec=warm_prec,
+        sample_prec=cfg.matmul_precision)
+
+
+def _prec_ctx(precision):
+    if precision is None:
+        import contextlib
+
+        return contextlib.nullcontext()
+    return jax.default_matmul_precision(precision)
 
 
 def _run_mclmc(
@@ -159,6 +169,8 @@ def _run_mclmc(
     chain_aux=None,
     checkpoint_dir=None,
     checkpoint_format: str = 'npz',
+    warm_prec: Optional[str] = None,
+    sample_prec: Optional[str] = None,
 ) -> SamplingResult:
     """Full MCLMC pipeline: warmup then ``n_samples`` kernel steps per
     chain, keeping every ``n_thinning``-th position.
@@ -218,10 +230,13 @@ def _run_mclmc(
         restored_keys = keys_from_data(key_data)
         warmup_trace = ckpt_mgr.load_warmup_trace()
     else:
-        logger.info('> starting MCLMC warmup (%d chains, %d steps)...',
-                    n_chains, cfg.warmup_steps)
-        states, params, warmup_trace = warmup_mclmc(
-            logdensity_fn, cfg, warmup_key, init_positions, mesh, chain_aux)
+        logger.info('> starting MCLMC warmup (%d chains, %d steps, '
+                    'matmul=%s)...', n_chains, cfg.warmup_steps,
+                    warm_prec or 'default')
+        with _prec_ctx(warm_prec):
+            states, params, warmup_trace = warmup_mclmc(
+                logdensity_fn, cfg, warmup_key, init_positions, mesh,
+                chain_aux)
         logger.info('> warmup done: step_size=%s L=%s',
                     np.asarray(params.step_size), np.asarray(params.L))
         kept_done = 0
@@ -296,22 +311,24 @@ def _run_mclmc(
     tuned_dict = dict(params._asdict())
     start_chunk = kept_done // chunk_kept
     pending = None  # overlap device compute with host transfer
-    for chunk in range(start_chunk, n_chunks):
-        block = min(chunk_kept, n_kept - kept_done)
-        chain_keys = jax.vmap(jax.random.fold_in)(
-            chain_keys, jnp.full(n_chains, chunk, dtype=jnp.uint32))
-        state, positions, (de, de_sq) = block_fn(
-            chain_keys, state, params.L, params.step_size,
-            params.sqrt_diag_cov, chain_aux, block)
-        if pending is not None:
-            _drain(pending, host_chunks, energy_chunks, sample_sink,
-                   ckpt_mgr, tuned_dict)
-        # (chains, block, dim) already chain-major; the carry (state,
-        # keys) as of THIS chunk rides along for the resume snapshot
-        pending = (positions,
-                   {'energy_change': de, 'energy_change_sq': de_sq},
-                   kept_done, state, chain_keys, chunk, kept_done + block)
-        kept_done += block
+    with _prec_ctx(sample_prec):  # covers block_fn tracing + execution
+        for chunk in range(start_chunk, n_chunks):
+            block = min(chunk_kept, n_kept - kept_done)
+            chain_keys = jax.vmap(jax.random.fold_in)(
+                chain_keys, jnp.full(n_chains, chunk, dtype=jnp.uint32))
+            state, positions, (de, de_sq) = block_fn(
+                chain_keys, state, params.L, params.step_size,
+                params.sqrt_diag_cov, chain_aux, block)
+            if pending is not None:
+                _drain(pending, host_chunks, energy_chunks, sample_sink,
+                       ckpt_mgr, tuned_dict)
+            # (chains, block, dim) already chain-major; the carry (state,
+            # keys) as of THIS chunk rides along for the resume snapshot
+            pending = (positions,
+                       {'energy_change': de, 'energy_change_sq': de_sq},
+                       kept_done, state, chain_keys, chunk,
+                       kept_done + block)
+            kept_done += block
     _drain(pending, host_chunks, energy_chunks, sample_sink, ckpt_mgr,
            tuned_dict)
     jax.block_until_ready(state)
