@@ -63,6 +63,23 @@ def _cells_bisect():
     return cells
 
 
+def _cells_tuner_bisect():
+    """Second fault family (found round 5): the MCLMC TUNER program on
+    the synthetic wide-FCN workload faults at 65k rows x width 512/1024
+    (airfoil/bike/protein tuners, <=36k rows x width <=48, are fine).
+    Bisect rows and the remat likelihood chunking at width 512."""
+    cells = [dict(name=f'tuner_w512_n{n}', sampler='mclmc_tuner',
+                  synthetic=dict(rows=n, feat=128), width=512,
+                  likelihood_chunk_size=8192)
+             for n in (8192, 16384, 32768, 65536)]
+    cells += [dict(name=f'tuner_w512_n65536_chunk{c}',
+                   sampler='mclmc_tuner',
+                   synthetic=dict(rows=65536, feat=128), width=512,
+                   likelihood_chunk_size=c)
+              for c in (None, 2048, 16384)]
+    return cells
+
+
 def _cells_verify_mitigation():
     """The production mitigation (warmup trees capped at 8, sampling at
     full depth 10) on both previously-faulting cells, through the real
@@ -119,11 +136,19 @@ def run_cell(cell: dict) -> dict:
     from mile_tpu.train.sampling_hmc import run_hmc_family
 
     w = cell['width']
-    data_cfg = DataConfig(task=Task.REGRESSION,
-                          datapoint_limit=cell.get('datapoint_limit'),
-                          **cell['data'])
-    loader = TabularLoader(data_cfg, 0)
-    x, y = loader.arrays('train')
+    if cell.get('synthetic'):
+        import numpy as np
+
+        rs = np.random.RandomState(0)
+        rows, feat = cell['synthetic']['rows'], cell['synthetic']['feat']
+        x = jnp.asarray(rs.rand(rows, feat).astype(np.float32))
+        y = jnp.asarray(rs.rand(rows).astype(np.float32))
+    else:
+        data_cfg = DataConfig(task=Task.REGRESSION,
+                              datapoint_limit=cell.get('datapoint_limit'),
+                              **cell['data'])
+        loader = TabularLoader(data_cfg, 0)
+        x, y = loader.arrays('train')
     module = build_model(FCNConfig(hidden_structure=[w, w, w, 2]))
     template = module.init(jax.random.PRNGKey(1), x[:1])['params']
     bayes = BayesianModel(
@@ -149,7 +174,25 @@ def run_cell(cell: dict) -> dict:
 
     rec = dict(cell=cell, dim=bayes.dim, n_train=int(x.shape[0]))
     t0 = time.time()
-    if phase == 'warmup':
+    if cell.get('sampler') == 'mclmc_tuner':
+        # MCLMC tuner only (second fault family, round 5): 500 steps of
+        # energy-variance adaptation on the synthetic wide-FCN posterior
+        from mile_tpu.train.sampling import warmup_mclmc
+
+        tcfg = SamplerConfig(
+            warmup_steps=cell.get('warmup_steps', 500),
+            n_chains=n_chains, n_samples=10, step_size_init=1e-4,
+            desired_energy_var_start=0.5, desired_energy_var_end=0.1,
+            likelihood_chunk_size=cell.get('likelihood_chunk_size'),
+            compute_dtype=cell.get('compute_dtype'))
+        import numpy as np
+
+        _, params, _ = warmup_mclmc(logdensity, tcfg,
+                                    jax.random.PRNGKey(3), positions)
+        eps = np.asarray(params.step_size)
+        rec['eps_mean'] = float(eps.mean())
+        rec['finite_eps_chains'] = int(np.isfinite(eps).sum())
+    elif phase == 'warmup':
         # window adaptation only: localizes which program faults
         from mile_tpu.mcmc import nuts
         from mile_tpu.mcmc.adaptation.window import run_window_adaptation
@@ -340,6 +383,7 @@ def main() -> int:
     ap.add_argument('--bisect', action='store_true')
     ap.add_argument('--mitigations', action='store_true')
     ap.add_argument('--verify-mitigation', action='store_true')
+    ap.add_argument('--tuner-bisect', action='store_true')
     ap.add_argument('--cell', type=str, default=None)
     ap.add_argument('--hlo', type=str, default=None,
                     help='JSON cell: dump lowered-HLO statistics (no '
@@ -376,6 +420,8 @@ def main() -> int:
         cells += _cells_mitigations()
     if args.verify_mitigation:
         cells += _cells_verify_mitigation()
+    if args.tuner_bisect:
+        cells += _cells_tuner_bisect()
     if not cells:
         print(__doc__)
         return 2
