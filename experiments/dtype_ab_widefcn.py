@@ -79,20 +79,22 @@ def run_arm(tag: str, compute_dtype, warm_prec, sample_prec) -> dict:
     from mile_tpu.train.sampling import _prec_ctx, warmup_mclmc
 
     bayes, logdensity = build(compute_dtype)
+    # warmup precision rides the config knob (warmup_mclmc applies it
+    # internally; the framework default is f32 since this very A/B)
     cfg = SamplerConfig(warmup_steps=WARMUP_STEPS, n_chains=N_CHAINS,
                         n_samples=TIMED_STEPS, step_size_init=1e-4,
                         desired_energy_var_start=0.5,
                         desired_energy_var_end=0.1,
-                        compute_dtype=compute_dtype)
+                        compute_dtype=compute_dtype,
+                        warmup_matmul_precision=warm_prec)
     keys = jax.random.split(jax.random.PRNGKey(2), N_CHAINS)
     positions = jax.vmap(
         lambda k: 0.02 * jax.random.normal(k, (bayes.dim,)))(keys)
 
     def tuned_and_timed():
         t0 = time.time()
-        with _prec_ctx(warm_prec):
-            states, params, _ = warmup_mclmc(
-                logdensity, cfg, jax.random.PRNGKey(3), positions)
+        states, params, _ = warmup_mclmc(
+            logdensity, cfg, jax.random.PRNGKey(3), positions)
         warmup_wall = time.time() - t0
 
         kernel = mclmc.build_kernel(logdensity)

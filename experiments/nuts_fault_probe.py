@@ -77,6 +77,11 @@ def _cells_tuner_bisect():
                    synthetic=dict(rows=65536, feat=128), width=512,
                    likelihood_chunk_size=c)
               for c in (None, 2048, 16384)]
+    cells.append(dict(name='tuner_w512_n65536_f32',
+                      sampler='mclmc_tuner',
+                      synthetic=dict(rows=65536, feat=128), width=512,
+                      likelihood_chunk_size=8192,
+                      warmup_matmul_precision='float32'))
     return cells
 
 
@@ -184,7 +189,11 @@ def run_cell(cell: dict) -> dict:
             n_chains=n_chains, n_samples=10, step_size_init=1e-4,
             desired_energy_var_start=0.5, desired_energy_var_end=0.1,
             likelihood_chunk_size=cell.get('likelihood_chunk_size'),
-            compute_dtype=cell.get('compute_dtype'))
+            compute_dtype=cell.get('compute_dtype'),
+            # default None = the exact program that faulted (the f32
+            # framework default postdates the fault); a cell can set
+            # 'float32' to test whether precision changes the verdict
+            warmup_matmul_precision=cell.get('warmup_matmul_precision'))
         import numpy as np
 
         _, params, _ = warmup_mclmc(logdensity, tcfg,

@@ -206,14 +206,20 @@ def build_jobs() -> list[Job]:
     # step_size_mean/L_mean so the drift is one groupby away.
     for rng in ABLATION_SEEDS:
         for tag, overrides in (
-                ('f32def', {}),
+                # fully-default-bf16 arm: pin warmup precision back to
+                # "follow matmul_precision" (the pre-round-5 default;
+                # since the A/B, f32-tuner is the framework default)
+                ('f32def',
+                 {'training.sampler.warmup_matmul_precision': None}),
                 ('f32strict',
                  {'training.sampler.matmul_precision': 'float32'}),
                 ('bf16fwd',
-                 {'training.sampler.compute_dtype': 'bfloat16'}),
+                 {'training.sampler.compute_dtype': 'bfloat16',
+                  'training.sampler.warmup_matmul_precision': None}),
                 # f32 TUNER + fast bf16-pass sampling: MCLMC's sampling
                 # phase never reads energies, so the quality win of
-                # exact-f32 tuning should survive at full default speed
+                # exact-f32 tuning survives at full default speed —
+                # now the framework default
                 ('f32tune',
                  {'training.sampler'
                   '.warmup_matmul_precision': 'float32'})):

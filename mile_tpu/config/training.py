@@ -114,14 +114,18 @@ class SamplerConfig(BaseConfig):
     # the fast path — this knob exists for the round-5 dtype A/B
     # (VERDICT r4 next 4) and as an exactness preset.
     matmul_precision: Optional[str] = None
-    # MCLMC-only: matmul precision for the TUNER (warmup) phase only;
-    # None = follow matmul_precision. The round-5 dtype A/B
-    # (aggr_results/aggr_dtype_ab.csv) showed bf16 matmul noise inflates
-    # the tuner's measured energy variance ~7x, collapsing the tuned
-    # (eps, L) and costing ~0.07 LPPD on airfoil — while the unadjusted
-    # sampling phase never reads energies, so it keeps full bf16-pass
-    # speed. 'float32' here buys exact-f32 tuning at fast sampling.
-    warmup_matmul_precision: Optional[str] = None
+    # MCLMC-only: matmul precision for the TUNER (warmup) phase; None =
+    # follow matmul_precision. DEFAULT 'float32' since round 5: the
+    # on-chip A/B (aggr_results/aggr_dtype_ab.csv, airfoil x 3 seeds)
+    # showed TPU bf16 matmul noise inflates the tuner's measured energy
+    # variance ~7x, collapsing tuned eps 0.038 -> 0.005 (L 12 -> 2.3)
+    # and costing ~0.05-0.07 LPPD — while the unadjusted sampling phase
+    # never reads energies, so it keeps full bf16-pass speed (f32tune
+    # arm: LPPD 0.720 vs 0.676 default at equal-or-lower sampling wall).
+    # The reference's CPU BlackJAX stack tunes in exact f32, so this is
+    # also the parity-correct behavior. Set `warmup_matmul_precision:
+    # null` in YAML to follow matmul_precision (old fast-tuner behavior).
+    warmup_matmul_precision: Optional[str] = 'float32'
     # HMC-only: number of leapfrog steps per proposal.
     num_integration_steps: int = 32
     # NUTS/HMC-only: dual-averaging acceptance target for window

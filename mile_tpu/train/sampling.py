@@ -73,7 +73,24 @@ def warmup_mclmc(
 
     ``chain_aux`` (optional, leading chain axis) is passed per-chain as the
     second argument of ``logdensity_fn`` — used by partition sampling.
+
+    Runs under ``cfg.warmup_matmul_precision`` (default 'float32' — the
+    tuner reads per-step energies, and bf16 matmul noise collapses the
+    tuned (ε, L); see the knob's docstring in config/training.py).
     """
+    with _prec_ctx(cfg.warmup_matmul_precision or cfg.matmul_precision):
+        return _warmup_mclmc(logdensity_fn, cfg, rng_key, positions, mesh,
+                             chain_aux)
+
+
+def _warmup_mclmc(
+    logdensity_fn: Callable,
+    cfg: SamplerConfig,
+    rng_key: jax.Array,
+    positions: jnp.ndarray,
+    mesh=None,
+    chain_aux=None,
+):
     tcfg = _tuning_config(cfg)
     n_chains = positions.shape[0]
     keys = jax.random.split(rng_key, n_chains)
@@ -142,12 +159,10 @@ def run_mclmc(
     eps collapsing 0.038 -> 0.005 and ~0.07 LPPD lost under the fast
     default. ``warmup_matmul_precision`` therefore scopes exact-f32 to
     the warmup program only; ``matmul_precision`` covers both phases."""
-    warm_prec = cfg.warmup_matmul_precision or cfg.matmul_precision
     return _run_mclmc(
         logdensity_fn, cfg, rng_key, init_positions, mesh,
         max_chunk_bytes, sample_sink, chain_aux, checkpoint_dir,
-        checkpoint_format, warm_prec=warm_prec,
-        sample_prec=cfg.matmul_precision)
+        checkpoint_format, sample_prec=cfg.matmul_precision)
 
 
 def _prec_ctx(precision):
@@ -169,7 +184,6 @@ def _run_mclmc(
     chain_aux=None,
     checkpoint_dir=None,
     checkpoint_format: str = 'npz',
-    warm_prec: Optional[str] = None,
     sample_prec: Optional[str] = None,
 ) -> SamplingResult:
     """Full MCLMC pipeline: warmup then ``n_samples`` kernel steps per
@@ -232,11 +246,11 @@ def _run_mclmc(
     else:
         logger.info('> starting MCLMC warmup (%d chains, %d steps, '
                     'matmul=%s)...', n_chains, cfg.warmup_steps,
-                    warm_prec or 'default')
-        with _prec_ctx(warm_prec):
-            states, params, warmup_trace = warmup_mclmc(
-                logdensity_fn, cfg, warmup_key, init_positions, mesh,
-                chain_aux)
+                    cfg.warmup_matmul_precision or cfg.matmul_precision
+                    or 'default')
+        states, params, warmup_trace = warmup_mclmc(
+            logdensity_fn, cfg, warmup_key, init_positions, mesh,
+            chain_aux)
         logger.info('> warmup done: step_size=%s L=%s',
                     np.asarray(params.step_size), np.asarray(params.L))
         kept_done = 0
