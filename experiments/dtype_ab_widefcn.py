@@ -142,26 +142,74 @@ def run_arm(tag: str, compute_dtype, warm_prec, sample_prec) -> dict:
         finite_eps_chains=int(np.isfinite(eps).sum()))
 
 
+# (tag, compute_dtype, warmup matmul precision, sampling precision)
+ARMS = {'f32def': (None, None, None),
+        'f32strict': (None, 'float32', 'float32'),
+        'bf16fwd': ('bfloat16', None, None),
+        'f32tune': (None, 'float32', None)}
+
+# fault-shaped error text (same markers as nuts_fault_probe.py): the
+# f32-precision tuner arms at width>=512 reproducibly kernel-fault the
+# remote worker (tuner_w512_n65536_f32 bisect cell), so every arm runs
+# in its own subprocess — a fault records a verdict instead of killing
+# the surviving arms or poisoning the client.
+FAULT_MARKERS = ('UNAVAILABLE', 'kernel fault', 'device error',
+                 'FAILED_PRECONDITION', 'INTERNAL')
+
+
+def run_child(tag: str) -> int:
+    try:
+        rec = run_arm(tag, *ARMS[tag])
+    except Exception as exc:  # noqa: BLE001 — classify for the parent
+        text = f'{type(exc).__name__}: {exc}'
+        print(text[-2000:], file=sys.stderr)
+        return 70 if any(m in text for m in FAULT_MARKERS) else 1
+    print(json.dumps(rec))
+    return 0
+
+
 def main() -> int:
-    # (tag, compute_dtype, warmup matmul precision, sampling precision)
-    arms = [('f32def', None, None, None),
-            ('f32strict', None, 'float32', 'float32'),
-            ('bf16fwd', 'bfloat16', None, None),
-            ('f32tune', None, 'float32', None)]
+    import subprocess
+    if len(sys.argv) > 2 and sys.argv[1] == '--arm':
+        return run_child(sys.argv[2])
+
     done = set()
     if OUT.exists():
         done = {json.loads(line)['arm'] for line in
                 OUT.read_text().splitlines() if line.strip()}
     OUT.parent.mkdir(parents=True, exist_ok=True)
-    for tag, cd, wp, sp in arms:
-        if f'{tag}_w{WIDTH}' in done:
+    for tag in ARMS:
+        arm_id = f'{tag}_w{WIDTH}'
+        if arm_id in done:
             print(f'[dtype_ab] {tag}: already recorded, skip')
             continue
-        print(f'[dtype_ab] {tag}: starting')
-        rec = run_arm(tag, cd, wp, sp)
+        print(f'[dtype_ab] {tag}: starting (isolated subprocess)')
+        t0 = time.time()
+        try:
+            proc = subprocess.run(
+                [sys.executable, __file__, '--arm', tag],
+                capture_output=True, text=True, timeout=1800,
+                env=dict(os.environ, MILE_AB_WIDTH=str(WIDTH)))
+            rc, out, err = proc.returncode, proc.stdout, proc.stderr
+        except subprocess.TimeoutExpired as exc:
+            rc, out, err = -1, '', f'timeout: {exc}'
+        wall = time.time() - t0
+        if rc == 0:
+            rec = next(json.loads(line) for line in out.splitlines()
+                       if line.startswith('{'))
+        else:
+            verdict = ('kernel_fault'
+                       if rc == 70 or any(m in err for m in FAULT_MARKERS)
+                       else ('timeout' if rc == -1 else 'error'))
+            rec = dict(arm=arm_id, verdict=verdict, rc=rc,
+                       wall_s=round(wall, 1), error=err[-2000:])
         with open(OUT, 'a') as f:
             f.write(json.dumps(rec) + '\n')
-        print(json.dumps(rec))
+        print(f"[dtype_ab] {tag}: "
+              f"{rec.get('verdict', 'ok')} in {wall:.0f}s")
+        if rec.get('verdict') in ('kernel_fault', 'timeout'):
+            print('[dtype_ab] cooling off 180s (tunnel recovery)')
+            time.sleep(180)
     return 0
 
 

@@ -31,18 +31,9 @@ run_catalog() {
 
 {
     echo "=== r5 queue p2 start $(date)"
-
-    echo "--- stage 7: verify warmup-depth-cap mitigation end-to-end $(date)"
-    nice -n 5 python experiments/nuts_fault_probe.py --verify-mitigation
-
-    echo "--- stage 7b: re-run nuts_ta ta90/95 under round-5 data splits $(date)"
-    # the r5 loader-seed change altered data splits; the ta80 rows ran
-    # under the new splits, so refresh ta90/95 to keep the study CSV
-    # one-harness comparable (VERDICT r4 weak 4)
-    rm -rf results/catalog_r3/nuts_ta/bike_nuts_ta9[05]_r[123]
-    run_catalog --only nuts_ta
-    python experiments/pool_results.py results/catalog_r3/nuts_ta \
-        -o aggr_results/aggr_nuts_ta.csv || true
+    # stages 7/7b dropped: bike48_warmupcap8 mitigation verify and the
+    # one-harness nuts_ta sweep (9 rows, all three ta arms) already ran
+    # and are committed (aggr_results/{nuts_fault_probe.jsonl,aggr_nuts_ta.csv})
 
     echo "--- stage 8: datasize-NUTS fill (warmup trees capped at 8) $(date)"
     run_catalog --only datasize --name-filter nuts

@@ -170,10 +170,15 @@ def build_jobs() -> list[Job]:
             nuts_over = {'rng': rng, 'model.hidden_structure': struct}
             if max(struct) >= 44:
                 # 44+-width NUTS faults the remote TPU in the depth-10
-                # window-adaptation program; capping ONLY the warmup
-                # trees at 8 runs it (round-5 fault probe). Sampling
-                # keeps full depth — reference parity for the draws.
+                # window-adaptation program (round-5 fault probe). The
+                # warmup-only cap passed the 50-draw probe but the real
+                # 1000-draw protein-40k run (same fault family) still
+                # crashed the worker, so cap BOTH phases at 8 — the
+                # probe-verified-ok configuration. The cap is recorded
+                # in the pooled CSV columns; 8/16/32-width companions
+                # keep full depth 10.
                 nuts_over['training.sampler.warmup_max_num_doublings'] = 8
+                nuts_over['training.sampler.max_num_doublings'] = 8
             jobs.append(Job('complexity', f'bike_nuts_{tag}_r{rng}',
                             'configs/ablations/complexity_bike_nuts.yaml',
                             nuts_over, warmstart_from=provider))
@@ -190,13 +195,20 @@ def build_jobs() -> list[Job]:
                             {'rng': rng, 'data.datapoint_limit': limit}))
             jobs.append(Job('datasize', f'protein_nuts_n{limit}_r{rng}',
                             'configs/ablations/datasize_protein_nuts.yaml',
-                            # warmup depth cap 8 on the WHOLE arm (not
+                            # depth cap 8 on BOTH phases, WHOLE arm (not
                             # just the faulting 40k cells) so the
-                            # datasize axis is internally consistent;
-                            # sampling trees keep full depth 10
+                            # datasize axis is internally consistent.
+                            # Warmup-only capping (full-depth sampling)
+                            # was probe-ok on 50-draw bike48 but still
+                            # faulted the real 1000-draw protein-40k run
+                            # (FAULTS.jsonl 2026-08-21); the both-phase
+                            # cap is the probe-verified-ok cell
+                            # protein_n40000_mnd8.
                             {'rng': rng, 'data.datapoint_limit': limit,
                              'training.sampler'
-                             '.warmup_max_num_doublings': 8},
+                             '.warmup_max_num_doublings': 8,
+                             'training.sampler'
+                             '.max_num_doublings': 8},
                             warmstart_from=provider))
 
     # ---- 4a2. MCLMC matmul-dtype A/B on the headline airfoil config
