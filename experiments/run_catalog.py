@@ -28,6 +28,7 @@ import os
 import re
 import shutil
 import sys
+import threading
 import time
 import traceback
 from pathlib import Path
@@ -315,6 +316,9 @@ def main() -> int:
                    help='comma-separated study filter')
     p.add_argument('--dry-run', action='store_true')
     p.add_argument('--limit', type=int, default=None)
+    p.add_argument('--job-timeout', type=float, default=1800.0,
+                   help='hard per-job wall limit (s); a job exceeding it '
+                        'is treated as a device hang: strike + exit 70')
     p.add_argument('--name-filter', default=None,
                    help='regex on job name (e.g. "_r1$" runs one seed of '
                         'every SEEDED grid point — note feasibility jobs '
@@ -413,6 +417,31 @@ def main() -> int:
         logger.info('[%d/%d] %s/%s starting', i + 1, len(jobs), job.study,
                     job.name)
         t0 = time.time()
+
+        # Hang watchdog (round 5): a crashed TPU worker can leave the
+        # client dead-blocked in a gRPC wait forever (observed
+        # 2026-08-21: protein_nuts_n30000_r2 froze 25+ min with zero CPU
+        # after 'starting nuts sampling', no exception raised). Python
+        # can't interrupt a thread blocked in C++, so a timer thread
+        # records a fault-ledger strike and hard-exits 70 — the same
+        # relaunch path a raised kernel fault takes.
+        def _hang_exit(job=job, t0=t0):
+            wall = round(time.time() - t0, 1)
+            logger.error('%s HUNG for %.0fs — recording strike and '
+                         'exiting 70 for relaunch', job.name, wall)
+            with open(fault_log, 'a') as f:
+                f.write(json.dumps({'study': job.study, 'job': job.name,
+                                    'wall_s': wall, 'hang': True}) + '\n')
+            if qlog:
+                qlog.write(json.dumps({'job': job.name, 'study': job.study,
+                                       'ok': False, 'wall_s': wall,
+                                       'error': 'hang'}) + '\n')
+                qlog.flush()
+            os._exit(70)
+
+        watchdog = threading.Timer(args.job_timeout, _hang_exit)
+        watchdog.daemon = True
+        watchdog.start()
         try:
             cfg = job.config(root)
             trainer = BDETrainer(cfg)
@@ -457,6 +486,8 @@ def main() -> int:
                              'fault' if is_fault else 'unavailable',
                              done, skipped, failed)
                 return 70
+        finally:
+            watchdog.cancel()
         qlog.write(json.dumps(rec) + '\n')
         qlog.flush()
         logger.info('[%d/%d] %s done in %.0fs (done=%d skip=%d fail=%d)',
